@@ -1,0 +1,120 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uneven_planner_tpu.config import MapConfig
+from uneven_planner_tpu.terrain import grid as tgrid
+from uneven_planner_tpu.terrain.synthetic import make_synthetic_grid, hill_height
+
+# Small grid: compiles are expensive on the 2-core test machine.
+TEST_CFG = MapConfig(xy_resolution=0.2, yaw_resolution=0.45)
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return make_synthetic_grid(TEST_CFG)
+
+
+def _sample_poses(n=32, seed=0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(-4.0, 4.0, size=(n, 2))
+    yaw = rng.uniform(-np.pi, np.pi, size=(n, 1))
+    return jnp.asarray(np.concatenate([xy, yaw], axis=1))
+
+
+def test_normalize_so2():
+    yaws = jnp.asarray([0.0, 3.2, -3.2, 7.0, -7.0, 2 * np.pi, -2 * np.pi])
+    wrapped = tgrid.normalize_so2(yaws)
+    assert np.all(np.abs(wrapped) <= np.pi + 1e-12)
+    np.testing.assert_allclose(np.sin(wrapped), np.sin(yaws), atol=1e-12)
+    np.testing.assert_allclose(np.cos(wrapped), np.cos(yaws), atol=1e-12)
+
+
+def test_lookup_and_grads(grid):
+    """One jitted program covering: value accuracy, cell-center exactness,
+    yaw periodicity, hand-vs-autodiff gradients, 7-tuple chain rule."""
+    poses = _sample_poses(24)
+
+    @jax.jit
+    def batch_eval(poses):
+        get = lambda p: tgrid.get_terrain(grid, p)
+        vals = jax.vmap(get)(poses)
+        shifted = poses.at[:, 2].set(tgrid.normalize_so2(poses[:, 2] + 2 * np.pi))
+        vals_shift = jax.vmap(get)(shifted)
+
+        def sigma_zb_c(p):
+            v = get(p)
+            return jnp.array([v[1], v[2], v[3], tgrid.get_c(v)])
+
+        hand = jax.vmap(lambda p: tgrid.get_terrain_with_grad(grid, p)[1])(poses)
+        auto = jax.vmap(jax.jacfwd(sigma_zb_c))(poses)
+
+        seven = lambda p: tgrid.get_terrain_variables(grid, p)
+        v7_hand, g7_hand = jax.vmap(lambda p: tgrid.get_all_with_grad(grid, p))(poses)
+        v7_auto = jax.vmap(seven)(poses)
+        g7_auto = jax.vmap(jax.jacfwd(seven))(poses)
+        return vals, vals_shift, hand, auto, v7_hand, g7_hand, v7_auto, g7_auto
+
+    vals, vals_shift, hand, auto, v7_hand, g7_hand, v7_auto, g7_auto = \
+        jax.tree.map(np.asarray, batch_eval(poses))
+
+    # interpolated z tracks the analytic height field
+    z_true = hill_height(np.asarray(poses[:, 0]), np.asarray(poses[:, 1]))
+    np.testing.assert_allclose(vals[:, 0], z_true, atol=3e-2)
+    # SO(2): yaw +- 2pi identical
+    np.testing.assert_allclose(vals, vals_shift, atol=1e-9)
+    # corner-difference gradient == autodiff (uneven_map.h:258-315)
+    np.testing.assert_allclose(hand, auto, rtol=1e-7, atol=1e-9)
+    # 7-tuple chain rule == autodiff (uneven_map.h:317-377)
+    np.testing.assert_allclose(v7_hand, v7_auto, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(g7_hand, g7_auto, rtol=1e-6, atol=1e-8)
+
+
+def test_exact_at_cell_center(grid):
+    idx = jnp.asarray([20, 17, 4])
+    pos = tgrid.index_to_pos(grid, idx)
+    val = tgrid.get_terrain(grid, pos)
+    np.testing.assert_allclose(np.asarray(val),
+                               np.asarray(grid.data[20, 17, 4]), atol=1e-9)
+
+
+def test_seven_tuple_flat_ground():
+    cfg = TEST_CFG
+    nx, ny, nyaw = cfg.voxel_num
+    data = jnp.zeros((nx, ny, nyaw, 4))
+    g = tgrid.from_buffers(data, cfg.min_cnormal, cfg.max_rho,
+                           cfg.xy_resolution, cfg.yaw_resolution,
+                           cfg.map_origin)
+    v = tgrid.get_terrain_variables(g, jnp.asarray([0.3, -0.2, 0.7]))
+    np.testing.assert_allclose(np.asarray(v),
+                               [1.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0], atol=1e-12)
+
+
+def test_out_of_map_and_occupancy(grid):
+    v = tgrid.get_terrain(grid, jnp.asarray([100.0, 0.0, 0.0]))
+    np.testing.assert_array_equal(np.asarray(v), np.zeros(4))
+    _, gr = tgrid.get_terrain_with_grad(grid, jnp.asarray([100.0, 0.0, 0.0]))
+    np.testing.assert_array_equal(np.asarray(gr), np.zeros((4, 3)))
+    nx, ny, nyaw = grid.voxel_num
+    assert grid.occ.shape == (nx, ny, nyaw)
+    np.testing.assert_array_equal(np.asarray(grid.occ_xy),
+                                  np.asarray(jnp.any(grid.occ, axis=-1)))
+    assert bool(tgrid.is_occupancy(grid, jnp.asarray([100.0, 0.0, 0.0])))
+
+
+def test_se3_lift(grid):
+    poses = _sample_poses(8, seed=3)
+
+    @jax.jit
+    def lift(poses):
+        R, p3 = jax.vmap(lambda p: tgrid.se3_lift(grid, p))(poses)
+        yaws = jax.vmap(tgrid.yaw_from_rotation)(R)
+        return R, p3, yaws
+
+    R, p3, yaws = jax.tree.map(np.asarray, lift(poses))
+    for i in range(len(poses)):
+        np.testing.assert_allclose(R[i].T @ R[i], np.eye(3), atol=1e-9)
+    np.testing.assert_allclose(yaws, np.asarray(poses[:, 2]), atol=1e-9)
+    z_true = hill_height(np.asarray(poses[:, 0]), np.asarray(poses[:, 1]))
+    np.testing.assert_allclose(p3[:, 2], z_true, atol=3e-2)

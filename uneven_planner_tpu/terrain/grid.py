@@ -1,0 +1,331 @@
+"""SE(2) terrain field F: SE(2) -> R x S^2_+ as a dense JAX tensor.
+
+TPU-native re-design of the reference terrain map (reference:
+src/uneven_planner/uneven_map/include/uneven_map/uneven_map.h).  The map is a
+dense grid over (x, y, yaw) — xy clamped, yaw periodic — whose cells hold the
+RXS2 value (z, sigma, zb0, zb1): terrain height, flatness, and the xy
+components of the tangent-plane normal (normal z = c = sqrt(1-|zb|^2),
+uneven_map.h:46).
+
+All lookups are pure functions of (grid, pos) and differentiable; batching is
+`jax.vmap` over positions.  The trilinear interpolation with SO(2)-aware yaw
+difference matches uneven_map.h:154-201, and its autodiff derivative equals
+the reference's hand-written corner-difference gradient (uneven_map.h:258-315)
+because trilinear interpolation is piecewise multilinear.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+TWO_PI = 2.0 * math.pi
+
+
+def normalize_so2(yaw: jax.Array) -> jax.Array:
+    """Branchless equivalent of UnevenMap::normSO2 (uneven_map.cpp:64-71):
+    wrap into [-pi, pi)."""
+    return yaw - TWO_PI * jnp.floor((yaw + jnp.pi) / TWO_PI)
+
+
+def so2_diff(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Signed angular difference a-b wrapped into (-pi, pi]
+    (atan2(sin, cos) form used at uneven_map.h:179)."""
+    return jnp.arctan2(jnp.sin(a - b), jnp.cos(a - b))
+
+
+@struct.dataclass
+class TerrainGrid:
+    """Dense RXS2 field plus derived occupancy.
+
+    data:    [Nx, Ny, Nyaw, 4] channels (z, sigma, zb0, zb1)
+    occ:     [Nx, Ny, Nyaw] bool — cell too steep / too rough
+             (uneven_map.cpp:170-179: c < min_cnormal or sigma > max_rho)
+    occ_xy:  [Nx, Ny] bool — 2D projection (any yaw occupied)
+    """
+
+    data: jax.Array
+    occ: jax.Array
+    occ_xy: jax.Array
+    # Static geometry (hashable; changing them retriggers jit).
+    xy_resolution: float = struct.field(pytree_node=False, default=0.05)
+    yaw_resolution: float = struct.field(pytree_node=False, default=0.1)
+    origin: Tuple[float, float, float] = struct.field(
+        pytree_node=False, default=(-5.0, -5.0, -(math.pi + 2.5e-2)))
+    gravity: float = struct.field(pytree_node=False, default=9.81)
+
+    @property
+    def voxel_num(self) -> Tuple[int, int, int]:
+        return self.data.shape[:3]
+
+    @property
+    def map_size(self) -> Tuple[float, float, float]:
+        n = self.voxel_num
+        return (n[0] * self.xy_resolution, n[1] * self.xy_resolution,
+                n[2] * self.yaw_resolution)
+
+    @property
+    def min_boundary(self) -> Tuple[float, float, float]:
+        return self.origin
+
+    @property
+    def max_boundary(self) -> Tuple[float, float, float]:
+        o, s = self.origin, self.map_size
+        return (o[0] + s[0], o[1] + s[1], o[2] + s[2])
+
+
+def from_buffers(data: jax.Array, min_cnormal: float, max_rho: float,
+                 xy_resolution: float, yaw_resolution: float,
+                 origin: Tuple[float, float, float],
+                 gravity: float = 9.81) -> TerrainGrid:
+    """Build a TerrainGrid from the raw RXS2 buffer, deriving occupancy
+    (uneven_map.cpp:170-179)."""
+    zb = data[..., 2:4]
+    c = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(zb * zb, axis=-1), 0.0))
+    occ = (c < min_cnormal) | (data[..., 1] > max_rho)
+    occ_xy = jnp.any(occ, axis=-1)
+    return TerrainGrid(data=data, occ=occ, occ_xy=occ_xy,
+                       xy_resolution=xy_resolution,
+                       yaw_resolution=yaw_resolution,
+                       origin=origin, gravity=gravity)
+
+
+# ---------------------------------------------------------------------------
+# Index math (uneven_map.h:398-435)
+# ---------------------------------------------------------------------------
+
+def pos_to_index(grid: TerrainGrid, pos: jax.Array) -> jax.Array:
+    o = jnp.asarray(grid.origin, dtype=pos.dtype)
+    res_inv = jnp.asarray(
+        [1.0 / grid.xy_resolution, 1.0 / grid.xy_resolution,
+         1.0 / grid.yaw_resolution], dtype=pos.dtype)
+    return jnp.floor((pos - o) * res_inv).astype(jnp.int32)
+
+
+def index_to_pos(grid: TerrainGrid, idx: jax.Array,
+                 dtype=jnp.float64) -> jax.Array:
+    o = jnp.asarray(grid.origin, dtype=dtype)
+    res = jnp.asarray(
+        [grid.xy_resolution, grid.xy_resolution, grid.yaw_resolution],
+        dtype=dtype)
+    return (idx.astype(dtype) + 0.5) * res + o
+
+
+def bound_index(grid: TerrainGrid, idx: jax.Array) -> jax.Array:
+    """Clamp xy, wrap yaw (uneven_map.h:398-409)."""
+    n = grid.voxel_num
+    ix = jnp.clip(idx[..., 0], 0, n[0] - 1)
+    iy = jnp.clip(idx[..., 1], 0, n[1] - 1)
+    iyaw = jnp.mod(idx[..., 2], n[2])
+    return jnp.stack([ix, iy, iyaw], axis=-1)
+
+
+def is_in_map(grid: TerrainGrid, pos: jax.Array) -> jax.Array:
+    lo = jnp.asarray(grid.min_boundary, dtype=pos.dtype)
+    hi = jnp.asarray(grid.max_boundary, dtype=pos.dtype)
+    return jnp.all(pos > lo + 1e-4) & jnp.all(pos < hi - 1e-4)
+
+
+def is_occupancy(grid: TerrainGrid, pos: jax.Array) -> jax.Array:
+    """SE(2) occupancy; out-of-map counts as occupied (reference returns -1
+    for out-of-map, callers treat only ==1 as blocked; here out-of-map is
+    blocked, which is the safe planning semantics)."""
+    idx = bound_index(grid, pos_to_index(grid, pos))
+    inside = is_in_map(grid, pos)
+    return jnp.where(inside, grid.occ[idx[0], idx[1], idx[2]], True)
+
+
+def is_occupancy_xy(grid: TerrainGrid, pos_xy: jax.Array) -> jax.Array:
+    """2D occupancy from an (x, y[, ...]) position (uneven_map.h:490-500)."""
+    o = jnp.asarray(grid.origin[:2], dtype=pos_xy.dtype)
+    idx = jnp.floor((pos_xy[:2] - o) / grid.xy_resolution).astype(jnp.int32)
+    n = grid.voxel_num
+    inside = (idx[0] >= 0) & (idx[0] < n[0]) & (idx[1] >= 0) & (idx[1] < n[1])
+    idx = jnp.clip(idx, 0, jnp.asarray([n[0] - 1, n[1] - 1]))
+    return jnp.where(inside, grid.occ_xy[idx[0], idx[1]], True)
+
+
+# ---------------------------------------------------------------------------
+# Trilinear interpolation (uneven_map.h:154-201)
+# ---------------------------------------------------------------------------
+
+def _corner_setup(grid: TerrainGrid, pos: jax.Array):
+    """Shared base-corner index + fractional offsets for trilinear lookup."""
+    half = jnp.asarray(
+        [0.5 * grid.xy_resolution, 0.5 * grid.xy_resolution,
+         0.5 * grid.yaw_resolution], dtype=pos.dtype)
+    pos_m = pos - half
+    pos_m = pos_m.at[2].set(normalize_so2(pos_m[2]))
+    idx = pos_to_index(grid, pos_m)
+    idx_pos = index_to_pos(grid, idx, dtype=pos.dtype)
+    diff = jnp.stack([
+        (pos[0] - idx_pos[0]) / grid.xy_resolution,
+        (pos[1] - idx_pos[1]) / grid.xy_resolution,
+        so2_diff(pos[2], idx_pos[2]) / grid.yaw_resolution,
+    ])
+    return idx, diff
+
+
+def _gather_corners(grid: TerrainGrid, idx: jax.Array) -> jax.Array:
+    """[2,2,2,4] corner values with clamped-xy / wrapped-yaw indexing."""
+    n = grid.voxel_num
+    ix = jnp.clip(idx[0] + jnp.arange(2), 0, n[0] - 1)
+    iy = jnp.clip(idx[1] + jnp.arange(2), 0, n[1] - 1)
+    iyaw = jnp.mod(idx[2] + jnp.arange(2), n[2])
+    return grid.data[ix[:, None, None], iy[None, :, None],
+                     iyaw[None, None, :], :]
+
+
+def get_terrain(grid: TerrainGrid, pos: jax.Array) -> jax.Array:
+    """Interpolated RXS2 value (z, sigma, zb0, zb1) at SE(2) pos.
+
+    Out-of-map positions return the default RXS2 (zeros), matching
+    uneven_map.h:156-161.
+    """
+    idx, diff = _corner_setup(grid, pos)
+    v = _gather_corners(grid, idx)  # [2,2,2,4]
+    w = diff.astype(v.dtype)
+    vx = v[0] * (1 - w[0]) + v[1] * w[0]        # [2,2,4]
+    vy = vx[0] * (1 - w[1]) + vx[1] * w[1]      # [2,4]
+    val = vy[0] * (1 - w[2]) + vy[1] * w[2]     # [4]
+    return jnp.where(is_in_map(grid, pos), val, jnp.zeros_like(val))
+
+
+def get_c(value: jax.Array) -> jax.Array:
+    """Normal z-component c = sqrt(1 - |zb|^2) of an RXS2 value
+    (uneven_map.h:46)."""
+    zb = value[..., 2:4]
+    return jnp.sqrt(jnp.maximum(1.0 - jnp.sum(zb * zb, axis=-1), 1e-12))
+
+
+def get_terrain_with_grad(grid: TerrainGrid, pos: jax.Array):
+    """Value plus analytic 4x3 gradient.
+
+    Returns (value[4] = (z, sigma, zb0, zb1), grad[4,3]) where grad rows are
+    d(sigma, zb0, zb1, c)/d(x, y, yaw) — exactly the corner-difference
+    derivative of the trilinear interpolation plus the chain rule for c,
+    mirroring uneven_map.h:258-315.
+    """
+    idx, diff = _corner_setup(grid, pos)
+    v = _gather_corners(grid, idx)  # [2(x),2(y),2(yaw),4]
+    w = diff
+    vx = v[0] * (1 - w[0]) + v[1] * w[0]        # [2(y),2(yaw),4]
+    vy = vx[0] * (1 - w[1]) + vx[1] * w[1]      # [2(yaw),4]  (v0, v1)
+    val = vy[0] * (1 - w[2]) + vy[1] * w[2]
+
+    svec = lambda a: a[..., 1:4]  # (sigma, zb0, zb1) rows
+    g_yaw = svec(vy[1] - vy[0]) / grid.yaw_resolution
+    dy = vx[1] - vx[0]  # [2(yaw),4]
+    g_y = svec(dy[0] * (1 - w[2]) + dy[1] * w[2]) / grid.xy_resolution
+    dx = v[1] - v[0]  # [2(y),2(yaw),4]
+    g_x = svec((1 - w[2]) * (1 - w[1]) * dx[0, 0]
+               + (1 - w[2]) * w[1] * dx[1, 0]
+               + w[2] * (1 - w[1]) * dx[0, 1]
+               + w[2] * w[1] * dx[1, 1]) / grid.xy_resolution
+    grad3 = jnp.stack([g_x, g_y, g_yaw], axis=-1)  # [3 rows, 3 cols]
+    c = get_c(val)
+    grad_c = -(grad3[1] * val[2] + grad3[2] * val[3]) / c
+    grad = jnp.concatenate([grad3, grad_c[None, :]], axis=0)  # [4,3]
+    inside = is_in_map(grid, pos)
+    return (jnp.where(inside, val, jnp.zeros_like(val)),
+            jnp.where(inside, grad, jnp.zeros_like(grad)))
+
+
+# ---------------------------------------------------------------------------
+# Derived terrain variables (uneven_map.h:220-377)
+# ---------------------------------------------------------------------------
+
+def terrain_variables_from_value(value: jax.Array,
+                                 yaw: jax.Array) -> jax.Array:
+    """7-tuple {invCosVphix, sinPhix, invCosVphiy, sinPhiy, cosXi, invCosXi,
+    sigma} from an RXS2 value and the yaw (uneven_map.h:221-256)."""
+    zb = value[2:4]
+    c = get_c(value)
+    inv_c = 1.0 / c
+    cyaw, syaw = jnp.cos(yaw), jnp.sin(yaw)
+    t = cyaw * zb[0] + syaw * zb[1]          # xyaw . zb
+    s = -(-syaw * zb[0] + cyaw * zb[1])      # -yyaw . zb
+    sqrt_1_t2 = jnp.sqrt(jnp.maximum(1.0 - t * t, 1e-12))
+    inv_sqrt_1_t2 = 1.0 / sqrt_1_t2
+    return jnp.stack([
+        inv_sqrt_1_t2,                 # invCosVphix
+        -c * t * inv_sqrt_1_t2,        # sinPhix
+        sqrt_1_t2 * inv_c,             # invCosVphiy
+        s * inv_sqrt_1_t2,             # sinPhiy
+        c,                             # cosXi
+        inv_c,                         # invCosXi
+        value[1],                      # sigma
+    ])
+
+
+def get_terrain_variables(grid: TerrainGrid, pos: jax.Array) -> jax.Array:
+    return terrain_variables_from_value(get_terrain(grid, pos), pos[2])
+
+
+def get_all_with_grad(grid: TerrainGrid, pos: jax.Array):
+    """7-tuple values and [7,3] gradients w.r.t. (x, y, yaw), with the
+    explicit chain rule of uneven_map.h:317-377 (kept as the parity oracle;
+    the optimizer uses autodiff of `get_terrain_variables`, which must agree)."""
+    value, rgrad = get_terrain_with_grad(grid, pos)  # rgrad rows: sig,zb0,zb1,c
+    zb = value[2:4]
+    c = get_c(value)
+    inv_c = 1.0 / c
+    cyaw, syaw = jnp.cos(pos[2]), jnp.sin(pos[2])
+    t = cyaw * zb[0] + syaw * zb[1]
+    s = syaw * zb[0] - cyaw * zb[1]
+    sqrt_1_t2 = jnp.sqrt(jnp.maximum(1.0 - t * t, 1e-12))
+    inv_sqrt = 1.0 / sqrt_1_t2
+    inv_sqrt3 = inv_sqrt ** 3
+    dzb = rgrad[1:3]                       # [2,3] d zb / d pos
+    dt = dzb[0] * cyaw + dzb[1] * syaw     # [3]
+    ds = dzb[0] * syaw - dzb[1] * cyaw
+    dt = dt.at[2].add(-s)
+    ds = ds.at[2].add(t)
+    dc = rgrad[3]
+
+    values = terrain_variables_from_value(value, pos[2])
+    grads = jnp.stack([
+        t * inv_sqrt3 * dt,                                   # invCosVphix
+        -(t * inv_sqrt * dc + inv_sqrt3 * c * dt),            # sinPhix
+        -inv_c * (t * inv_sqrt * dt + sqrt_1_t2 * inv_c * dc),  # invCosVphiy
+        inv_sqrt * ds + t * inv_sqrt3 * s * dt,               # sinPhiy
+        dc,                                                   # cosXi
+        -inv_c * inv_c * dc,                                  # invCosXi
+        rgrad[0],                                             # sigma
+    ])
+    return values, grads
+
+
+# ---------------------------------------------------------------------------
+# SE(2) -> SE(3) pose lift (uneven_map.h:203-218) and yaw recovery
+# ---------------------------------------------------------------------------
+
+def se3_lift(grid: TerrainGrid, pos: jax.Array):
+    """Rotation R (columns xb, yb, zb) and 3D position at an SE(2) pose."""
+    value = get_terrain(grid, pos)
+    zb = jnp.array([value[2], value[3], get_c(value)])
+    xyaw = jnp.array([jnp.cos(pos[2]), jnp.sin(pos[2]), 0.0])
+    yb = jnp.cross(zb, xyaw)
+    yb = yb / jnp.linalg.norm(yb)
+    xb = jnp.cross(yb, zb)
+    R = jnp.stack([xb, yb, zb], axis=1)
+    p = jnp.array([pos[0], pos[1], value[0]])
+    return R, p
+
+
+def yaw_from_rotation(R: jax.Array) -> jax.Array:
+    """Recover yaw from an SE(3) rotation produced by `se3_lift`
+    (Sherman–Morrison form, uneven_map.cpp:56-62)."""
+    p = R[:2, 2]
+    b = R[:2, 0]
+    M = jnp.eye(2) + jnp.outer(p, p) / (1.0 - jnp.dot(p, p))
+    x = M @ b
+    return jnp.arctan2(x[1], x[0])
+
+
+def terrain_sigma(grid: TerrainGrid, pos: jax.Array) -> jax.Array:
+    return get_terrain(grid, pos)[1]

@@ -1,0 +1,90 @@
+"""Headline benchmark: batched MINCO PHR-ALM solves/s on one chip (hill).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+BASELINE.json publishes no reference numbers (the reference repo has none);
+the north-star target is >=10,000 MINCO solves/s per chip on the hill scene,
+so vs_baseline reports value / 10000 (fraction of the target).
+
+Config mirrors BASELINE config 3 (batched back-end, one chip) at a reduced
+batch: B scenarios with fixed piece counts (10 xy / 20 yaw pieces, int_K=16),
+full hill-scale terrain grid (200x200x64), reference solver settings except
+the L-BFGS memory (32; the reference's 256 exceeds the 38-var problem size
+anyway) and inner iteration cap 250.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from uneven_planner_tpu.config import scene_config
+    from uneven_planner_tpu import manager
+    from uneven_planner_tpu.solver import alm
+    from uneven_planner_tpu.terrain.synthetic import make_synthetic_grid
+
+    B = int(os.environ.get("BENCH_BATCH", "256"))
+    cfg = scene_config("hill")
+    grid = jax.device_put(make_synthetic_grid(cfg.map, dtype=np.float32))
+
+    rng = np.random.default_rng(0)
+    shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=16)
+    x0s, bounds = [], []
+    for i in range(B):
+        ang = rng.uniform(-np.pi, np.pi)
+        start = rng.uniform(-3.5, -1.5, size=2)
+        goal = start + 2.5 * np.array([np.cos(ang), np.sin(ang)])
+        goal = np.clip(goal, -4.0, 4.0)
+        yaw = np.arctan2(goal[1] - start[1], goal[0] - start[0])
+        t = np.linspace(0, 1, 16)[:, None]
+        path = np.concatenate([(1 - t) * start + t * goal,
+                               np.full((16, 1), yaw)], axis=1)
+        xi, bi = manager.init_guess_fixed(path, cfg.manager,
+                                          piece_xy=shape.piece_xy,
+                                          piece_yaw=shape.piece_yaw)
+        x0s.append(xi)
+        bounds.append(bi)
+    x0s = jnp.asarray(np.stack(x0s), jnp.float32)
+    bounds = jax.tree.map(lambda *a: jnp.asarray(np.stack(a), jnp.float32),
+                          *bounds)
+
+    overrides = {"mem_size": 32, "max_iterations": 250}
+    # grid passed as an argument (not a closure constant) so the 10 MB field
+    # lives in HBM instead of being baked into the HLO
+    run = jax.jit(lambda xs, bs, g: jax.vmap(
+        lambda x, b: alm.solve(x, b, shape, g, cfg.alm,
+                               lbfgs_overrides=overrides))(xs, bs))
+
+    res = run(x0s, bounds, grid)
+    jax.block_until_ready(res)
+
+    n_rep = int(os.environ.get("BENCH_REPS", "3"))
+    t0 = time.time()
+    for _ in range(n_rep):
+        res = run(x0s, bounds, grid)
+        jax.block_until_ready(res)
+    dt = (time.time() - t0) / n_rep
+
+    solves_per_sec = B / dt
+    conv = float(np.mean(np.asarray(res.converged)))
+    sys.stderr.write(f"batch={B} time={dt*1e3:.1f}ms "
+                     f"converged={conv*100:.1f}%\n")
+    print(json.dumps({
+        "metric": "minco_alm_solves_per_sec_per_chip_hill",
+        "value": round(solves_per_sec, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_sec / 10000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

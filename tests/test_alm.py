@@ -1,0 +1,130 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uneven_planner_tpu.config import ALMConfig, ManagerConfig, MapConfig
+from uneven_planner_tpu import manager
+from uneven_planner_tpu.minco.traj import max_metrics, non_hol_error
+from uneven_planner_tpu.solver import alm
+from uneven_planner_tpu.terrain.synthetic import make_synthetic_grid
+
+TEST_CFG = MapConfig(xy_resolution=0.2, yaw_resolution=0.45)
+# Reduced inner caps keep the CPU test fast; the convergence criteria are the
+# reference's (epsilon_con on scaled residuals).
+LB_OVR = {"mem_size": 32, "max_iterations": 250}
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return make_synthetic_grid(TEST_CFG)
+
+
+def _straight_path(start, goal, n=40):
+    t = np.linspace(0.0, 1.0, n)[:, None]
+    xy = (1 - t) * np.asarray(start[:2]) + t * np.asarray(goal[:2])
+    yaw = np.full((n, 1), np.arctan2(goal[1] - start[1], goal[0] - start[0]))
+    return np.concatenate([xy, yaw], axis=1)
+
+
+@pytest.fixture(scope="module")
+def solved(grid):
+    path = _straight_path((-3.0, -3.0), (0.0, -3.0))
+    x0, bound, shape = manager.init_guess_from_path(path, ManagerConfig())
+    cfg = ALMConfig()
+
+    @jax.jit
+    def run(x0, bound):
+        return alm.solve(jnp.asarray(x0), bound, shape, grid, cfg,
+                         lbfgs_overrides=LB_OVR)
+
+    bound = jax.tree.map(jnp.asarray, bound)
+    res = run(jnp.asarray(x0), bound)
+    return res, shape, cfg
+
+
+def test_alm_converges(solved):
+    res, shape, cfg = solved
+    assert bool(res.converged), (
+        f"ALM did not converge: res_h={float(res.res_h)}, "
+        f"res_g={float(res.res_g)}, outer={int(res.outer_iters)}")
+    assert float(res.res_h) < cfg.epsilon_con
+    assert float(res.res_g) < cfg.epsilon_con
+
+
+def test_constraints_satisfied(solved, grid):
+    """Post-solve report must respect the configured bounds (the de-facto
+    acceptance criteria printed by the reference, plan_manager.cpp:142-148)."""
+    res, shape, cfg = solved
+    m = jax.jit(lambda tr: max_metrics(tr, grid, num_samples=2048))(res.traj)
+    tol = 1.05  # scaled-constraint tolerance translates to small overshoot
+    assert float(m["max_vx"]) <= cfg.max_vel * tol + 0.05
+    assert float(m["max_ax"]) <= cfg.max_acc_lon * tol
+    assert float(m["max_ay"]) <= cfg.max_acc_lat * tol
+    assert float(m["max_cur"]) <= cfg.max_kap * tol + 0.1
+    assert float(m["min_cxi"]) >= cfg.min_cxi / tol
+    assert float(m["max_sig"]) <= cfg.max_sig * tol + 1e-3
+
+
+def test_nonholonomic_error_small(solved):
+    res, _, _ = solved
+    err = float(jax.jit(lambda tr: non_hol_error(tr, 2048))(res.traj))
+    # total duration ~7s -> ~700 samples; average |v_perp| well under mm/s
+    assert err < 0.5, f"non-holonomic error too large: {err}"
+
+
+def test_boundary_states_hit(solved):
+    res, _, _ = solved
+    from uneven_planner_tpu.minco import minco as m
+    p0, v0, a0, _ = m.eval_piece(res.traj.c_xy[0], jnp.asarray(0.0))
+    np.testing.assert_allclose(np.asarray(p0), [-3.0, -3.0], atol=1e-8)
+    pT, _, _, _ = m.eval_piece(res.traj.c_xy[-1], res.traj.ts_xy[-1])
+    np.testing.assert_allclose(np.asarray(pT), [0.0, -3.0], atol=1e-8)
+
+
+def test_expc2_logc2_roundtrip():
+    taus = jnp.asarray([-3.0, -0.5, 0.0, 0.7, 2.5])
+    np.testing.assert_allclose(np.asarray(alm.logC2(alm.expC2(taus))),
+                               np.asarray(taus), atol=1e-12)
+    # expC2 is positive, increasing, C1 at 0
+    ts = np.asarray(alm.expC2(taus))
+    assert np.all(ts > 0)
+    assert np.all(np.diff(ts) > 0)
+    eps = 1e-7
+    d0p = (float(alm.expC2(jnp.asarray(eps))) - 1.0) / eps
+    d0m = (1.0 - float(alm.expC2(jnp.asarray(-eps)))) / eps
+    np.testing.assert_allclose(d0p, d0m, atol=1e-5)
+
+
+def test_inner_cost_grad_matches_fd(grid):
+    """Autodiff of the full inner objective (replacing the reference's
+    hand-written innerCallback gradients) vs finite differences."""
+    path = _straight_path((-3.0, -3.0), (-1.0, -3.0))
+    x0, bound, shape = manager.init_guess_from_path(path, ManagerConfig())
+    cfg = ALMConfig()
+    bound = jax.tree.map(jnp.asarray, bound)
+    E, I = shape.equal_num, shape.non_equal_num
+    rng = np.random.default_rng(0)
+    duals = alm.DualState(lam=jnp.asarray(rng.normal(size=E) * 0.1),
+                          mu=jnp.asarray(np.abs(rng.normal(size=I)) * 0.1),
+                          rho=jnp.asarray(2.0))
+    scaling = alm.Scaling(scale_fx=jnp.asarray(0.7),
+                          scale_cx=alm.default_scale_cx(shape, cfg,
+                                                        jnp.float64))
+
+    @jax.jit
+    def cost(x):
+        return alm.inner_cost(x, bound, shape, grid, cfg, duals, scaling)
+
+    g = jax.jit(jax.grad(cost))(jnp.asarray(x0))
+    eps = 1e-6
+    x0 = np.asarray(x0)
+    for j in [0, 1, len(x0) // 2, len(x0) - 1]:
+        xp = x0.copy(); xp[j] += eps
+        xm = x0.copy(); xm[j] -= eps
+        fd = (float(cost(jnp.asarray(xp))) - float(cost(jnp.asarray(xm)))) \
+            / (2 * eps)
+        np.testing.assert_allclose(float(g[j]), fd, rtol=5e-5, atol=1e-6,
+                                   err_msg=f"x[{j}]")

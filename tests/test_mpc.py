@@ -1,0 +1,129 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uneven_planner_tpu.config import MPCConfig
+from uneven_planner_tpu.minco import minco
+from uneven_planner_tpu.minco.traj import SE2Traj
+from uneven_planner_tpu.mpc import tracker
+from uneven_planner_tpu.sim import rollout
+from uneven_planner_tpu.solver import admm_qp
+
+
+# --------------------------- ADMM QP solver ---------------------------------
+
+def test_qp_equality_constrained_matches_kkt():
+    """With l == u the QP reduces to an equality-constrained problem with a
+    closed-form KKT solution."""
+    rng = np.random.default_rng(0)
+    n, m = 12, 5
+    L = rng.normal(size=(n, n))
+    P = jnp.asarray(L @ L.T + n * np.eye(n))
+    q = jnp.asarray(rng.normal(size=n))
+    A = jnp.asarray(rng.normal(size=(m, n)))
+    b = jnp.asarray(rng.normal(size=m))
+    sol = jax.jit(lambda: admm_qp.solve_qp(P, q, A, b, b, eps_abs=1e-10,
+                                           eps_rel=1e-10, max_iter=20000))()
+    KKT = np.block([[np.asarray(P), np.asarray(A).T],
+                    [np.asarray(A), np.zeros((m, m))]])
+    rhs = np.concatenate([-np.asarray(q), np.asarray(b)])
+    xy = np.linalg.solve(KKT, rhs)
+    np.testing.assert_allclose(np.asarray(sol.x), xy[:n], atol=1e-6)
+
+
+def test_qp_box_constrained_kkt_residuals():
+    """Random strictly-convex box QPs: ADMM solution must satisfy KKT."""
+    rng = np.random.default_rng(1)
+    for trial in range(3):
+        n, m = 10, 16
+        L = rng.normal(size=(n, n))
+        P = jnp.asarray(L @ L.T + n * np.eye(n))
+        q = jnp.asarray(rng.normal(size=n) * 3)
+        A = jnp.asarray(rng.normal(size=(m, n)))
+        l = jnp.asarray(-np.abs(rng.normal(size=m)) - 0.1)
+        u = jnp.asarray(np.abs(rng.normal(size=m)) + 0.1)
+        sol = jax.jit(lambda P, q, A, l, u: admm_qp.solve_qp(
+            P, q, A, l, u, eps_abs=1e-9, eps_rel=1e-9, max_iter=20000))(
+            P, q, A, l, u)
+        stat, prim, comp = admm_qp.kkt_residuals(P, q, A, l, u, sol.x, sol.y)
+        assert float(stat) < 1e-5, f"stationarity {float(stat)}"
+        assert float(prim) < 1e-6, f"primal feas {float(prim)}"
+        assert float(comp) < 1e-4, f"complementarity {float(comp)}"
+
+
+# --------------------------- MPC pieces -------------------------------------
+
+CFG = MPCConfig()
+
+
+def test_linearization_consistency():
+    """A x + B u + C must equal the nonlinear step to first order at the
+    linearization point (getLinearModel vs stateTrans, mpc.cpp:194-246)."""
+    theta, vx, delta = 0.7, 0.4, 0.2
+    A, B, C = tracker.linearize(jnp.asarray(theta), jnp.asarray(vx),
+                                jnp.asarray(delta), CFG)
+    state = jnp.asarray([1.0, 2.0, theta])
+    u = jnp.asarray([vx, delta])
+    lin = A @ state + B @ u + C
+    nonlin = tracker.state_trans(state, u, CFG)
+    np.testing.assert_allclose(np.asarray(lin), np.asarray(nonlin), atol=1e-9)
+
+
+def test_smooth_yaw_wraps():
+    xref = jnp.zeros((3, 5)).at[2].set(jnp.asarray(
+        [3.0, 3.2, 3.4, -2.9, -2.7]))  # crosses +pi
+    sm = tracker.smooth_yaw(xref, jnp.asarray(2.9))
+    d = np.diff(np.asarray(sm[2]))
+    assert np.all(np.abs(d) < np.pi / 2)
+    np.testing.assert_allclose(np.sin(np.asarray(sm[2])),
+                               np.sin(np.asarray(xref[2])), atol=1e-12)
+
+
+def _straight_traj(length=2.0, vel=0.4):
+    N = 4
+    dur = length / vel
+    xs = np.linspace(0.0, length, N + 1)
+    inner = jnp.asarray(np.stack([xs[1:-1], np.zeros(N - 1)], axis=1))
+    ts = jnp.full((N,), dur / N)
+    head = jnp.asarray([[0.0, 0.0], [vel, 0.0], [0.0, 0.0]])
+    tail = jnp.asarray([[length, 0.0], [vel, 0.0], [0.0, 0.0]])
+    c_xy = minco.generate(inner, ts, head, tail)
+    c_yaw = minco.generate(jnp.zeros((N - 1, 1)), ts, jnp.zeros((3, 1)),
+                           jnp.zeros((3, 1)))
+    return SE2Traj(c_xy, ts, c_yaw, ts)
+
+
+@pytest.mark.parametrize("model_type", [tracker.DIFF, tracker.ACKER])
+def test_closed_loop_tracking(model_type):
+    """Closed-loop: the MPC must track a straight MINCO trajectory with
+    small error from a perturbed start (test_mpc-mode analog)."""
+    cfg = dataclasses.replace(CFG, model_type=model_type, qp_max_iter=1500)
+    traj = _straight_traj()
+    start = jnp.asarray([0.0, 0.05, 0.1])  # offset + heading error
+
+    run = jax.jit(lambda: rollout.track_trajectory(
+        traj, start, cfg, n_steps=150, max_sqp_iter=2))
+    res = run()
+    errs = np.asarray(res.errs)
+    # converges onto the line and stays there
+    assert errs[-1] < 0.03, f"final err {errs[-1]}"
+    assert float(res.mean_err) < 0.06, f"mean err {float(res.mean_err)}"
+    # commands respect the box bounds
+    cmds = np.asarray(res.cmds)
+    assert np.all(cmds[:, 0] <= cfg.max_speed + 1e-6)
+    assert np.all(cmds[:, 0] >= cfg.min_speed - 1e-6)
+
+
+def test_at_goal_zeroes_command():
+    cfg = dataclasses.replace(CFG, qp_max_iter=1000)
+    traj = _straight_traj(length=0.4)
+    start = jnp.asarray([0.4, 0.0, 0.0])
+    run = jax.jit(lambda: rollout.track_trajectory(
+        traj, start, cfg, n_steps=260, max_sqp_iter=1))
+    res = run()
+    ag = np.asarray(res.at_goal)
+    assert ag[-1], "should reach at_goal after duration + 1s"
+    np.testing.assert_allclose(np.asarray(res.cmds)[ag], 0.0, atol=1e-12)

@@ -18,6 +18,26 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# All small matmuls run at HIGHEST precision: TPU f32 dots default to
+# bf16 MXU passes, which corrupts the MINCO solve and its gradients.
+_P = jax.lax.Precision.HIGHEST
+
+
+def gauss_solve(M: jax.Array, B: jax.Array) -> jax.Array:
+    """Dense k x k solve by Gaussian elimination WITHOUT pivoting, unrolled
+    over k (static, small).  Element-wise ops only -> full f32 on the TPU
+    VPU, any dtype, differentiable, vmappable.  The no-pivot assumption is
+    the reference's (banded_system.hpp:64-66); MINCO diagonal blocks are
+    safely conditioned.
+    """
+    k = M.shape[-1]
+    A = jnp.concatenate([M, B], axis=-1)  # [k, k+m]
+    for i in range(k):
+        A = A.at[i].set(A[i] / A[i, i])
+        factors = A[:, i].at[i].set(0.0)
+        A = A - factors[:, None] * A[i][None, :]
+    return A[:, k:]
+
 
 def block_tridiag_solve(L: jax.Array, D: jax.Array, U: jax.Array,
                         b: jax.Array) -> jax.Array:
@@ -39,9 +59,10 @@ def block_tridiag_solve(L: jax.Array, D: jax.Array, U: jax.Array,
     def fwd(carry, inp):
         W_prev, y_prev = carry
         Li, Di, Ui, bi = inp
-        M = Di - Li @ W_prev
-        rhs = jnp.concatenate([Ui, bi - Li @ y_prev], axis=-1)
-        sol = jnp.linalg.solve(M, rhs)
+        M = Di - jnp.matmul(Li, W_prev, precision=_P)
+        rhs = jnp.concatenate(
+            [Ui, bi - jnp.matmul(Li, y_prev, precision=_P)], axis=-1)
+        sol = gauss_solve(M, rhs)
         k = Di.shape[-1]
         Wi, yi = sol[..., :k], sol[..., k:]
         return (Wi, yi), (Wi, yi)
@@ -54,7 +75,7 @@ def block_tridiag_solve(L: jax.Array, D: jax.Array, U: jax.Array,
 
     def bwd(x_next, inp):
         Wi, yi = inp
-        xi = yi - Wi @ x_next
+        xi = yi - jnp.matmul(Wi, x_next, precision=_P)
         return xi, xi
 
     _, x_rev = jax.lax.scan(bwd, jnp.zeros((k, m), dtype=D.dtype),

@@ -121,7 +121,9 @@ def eval_piece(c_i: jax.Array, s: jax.Array):
     """(value, vel, acc, jerk) of one piece's [6, Dim] coefficients at local
     time s (Piece::getValue/getDotValue/getDDotValue, se2traj.hpp:106-150)."""
     b0, b1, b2, b3 = _beta(s, c_i.dtype)
-    return b0 @ c_i, b1 @ c_i, b2 @ c_i, b3 @ c_i
+    P = jax.lax.Precision.HIGHEST
+    mm = lambda b: jnp.matmul(b, c_i, precision=P)
+    return mm(b0), mm(b1), mm(b2), mm(b3)
 
 
 def locate_piece(ts_cumsum: jax.Array, t: jax.Array):

@@ -1,0 +1,88 @@
+"""Batched closed-loop plant simulator.
+
+TPU-native equivalent of the reference's Gazebo loop (reference: carsim
+package — cmdvel2gazebo.py Ackermann wheel mapping + true_state_pub.py
+odometry): the capability is a closed-loop plant for the tracker, so the
+plant here is the kinematic bicycle/unicycle the wheel mapping realizes,
+stepped in lockstep with the controller at the 100 Hz control rate
+(mpc.cpp:50), with the actuation dead-man semantics (cmdvel2gazebo.py:80-94)
+represented by a command-valid flag.  SE(3) state comes from the terrain
+lift when a grid is provided (true_state_pub publishes the rear-axle pose on
+the terrain).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from uneven_planner_tpu.config import MPCConfig
+from uneven_planner_tpu.minco.traj import SE2Traj
+from uneven_planner_tpu.mpc import tracker
+
+
+def plant_step(state, cmd, cfg: MPCConfig, dt: float,
+               cmd_valid=True):
+    """Integrate the plant for dt under (v, omega-or-steer); dead-man zeroes
+    velocity when the command is stale."""
+    v = jnp.where(cmd_valid, cmd[0], 0.0)
+    if cfg.model_type == tracker.DIFF:
+        w = cmd[1]
+    else:
+        w = v / cfg.wheel_base * jnp.tan(cmd[1])
+    return jnp.array([
+        state[0] + v * jnp.cos(state[2]) * dt,
+        state[1] + v * jnp.sin(state[2]) * dt,
+        state[2] + w * dt,
+    ])
+
+
+class TrackResult(NamedTuple):
+    states: jax.Array      # [n_steps, 3] plant states
+    cmds: jax.Array        # [n_steps, 2]
+    errs: jax.Array        # [n_steps] tracking error vs ref point 0
+    at_goal: jax.Array     # [n_steps] bool
+    mean_err: jax.Array    # mean error over pre-goal steps
+
+
+def track_trajectory(traj: SE2Traj, start_state, cfg: MPCConfig,
+                     n_steps: int, ctrl_dt: float = 0.01,
+                     max_sqp_iter: int = 3) -> TrackResult:
+    """Closed-loop tracking of one trajectory (the test_mpc / benchmark
+    episode loop, mpc.cpp:122-192): per 10 ms tick sample the reference
+    horizon, smooth yaw, run the MPC, apply the command to the plant."""
+    T = cfg.predict_steps
+    d = max(cfg.delay_num, 1)
+
+    class S(NamedTuple):
+        state: jax.Array
+        output: jax.Array
+        buff: jax.Array
+        t: jax.Array
+
+    def step(s: S, _):
+        refs, at_goal = tracker.get_ref_points(traj, s.t, cfg)
+        err = jnp.linalg.norm(refs[:2, 0] - s.state[:2])
+        refs = tracker.smooth_yaw(refs, s.state[2])
+        res = tracker.mpc_step(s.state, refs,
+                               jnp.zeros_like(refs[:2]), s.output, s.buff,
+                               cfg, max_sqp_iter=max_sqp_iter)
+        cmd = jnp.where(at_goal, jnp.zeros(2, s.state.dtype), res.cmd)
+        state = plant_step(s.state, cmd, cfg, ctrl_dt)
+        return (S(state=state, output=res.output, buff=res.output_buff,
+                  t=s.t + ctrl_dt),
+                (s.state, cmd, err, at_goal))
+
+    dtype = start_state.dtype
+    init = S(state=start_state,
+             output=jnp.zeros((2, T), dtype),
+             buff=jnp.zeros((d, 2), dtype),
+             t=jnp.zeros((), dtype))
+    _, (states, cmds, errs, at_goal) = jax.lax.scan(
+        step, init, None, length=n_steps)
+    pre_goal = ~at_goal
+    mean_err = jnp.sum(errs * pre_goal) / jnp.maximum(jnp.sum(pre_goal), 1)
+    return TrackResult(states=states, cmds=cmds, errs=errs, at_goal=at_goal,
+                       mean_err=mean_err)

@@ -156,9 +156,10 @@ def _sample_kernel(x, bound: Boundary, shape: ProblemShape,
     # xy bases: s_j = j/K * Txy identical for every piece -> [K1, 6] matmuls
     s = (jnp.arange(K1, dtype=x.dtype) / K) * Txy
     b0, b1, b2, _ = jax.vmap(lambda t: minco._beta(t, x.dtype))(s)  # [K1,6]
-    pos = jnp.einsum("km,imd->ikd", b0, c_xy)
-    vel = jnp.einsum("km,imd->ikd", b1, c_xy)
-    acc = jnp.einsum("km,imd->ikd", b2, c_xy)
+    _P = jax.lax.Precision.HIGHEST
+    pos = jnp.einsum("km,imd->ikd", b0, c_xy, precision=_P)
+    vel = jnp.einsum("km,imd->ikd", b1, c_xy, precision=_P)
+    acc = jnp.einsum("km,imd->ikd", b2, c_xy, precision=_P)
 
     # yaw piece location by global time (alm_traj_opt.cpp:747-764)
     t_glob = (jnp.arange(N, dtype=x.dtype)[:, None] * Txy + s[None, :])

@@ -19,6 +19,12 @@ from typing import Callable, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+_P = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jnp.dot(a, b, precision=_P)
+
 # Status codes (positive = terminated normally, negative = error), mirroring
 # the reference's enum semantics (lbfgs.hpp:135-184).
 RUNNING = 0
@@ -64,7 +70,7 @@ class _LSState(NamedTuple):
 
 def _line_search(fun, xp, fp, gp, d, stp0, p: LBFGSParams):
     """Lewis–Overton line search (lbfgs.hpp:276-389)."""
-    dginit = jnp.dot(gp, d)
+    dginit = _dot(gp, d)
     dgtest = p.f_dec_coeff * dginit
     dstest = p.s_curv_coeff * dginit
 
@@ -81,7 +87,7 @@ def _line_search(fun, xp, fp, gp, d, stp0, p: LBFGSParams):
         early = (p.past > 0) & (jnp.abs(fp - f) / (jnp.abs(fp) + 1.0)
                                 < p.delta / max(p.past, 1))
         armijo_fail = f > fp + s.stp * dgtest
-        wolfe_fail = jnp.dot(g, d) < dstest
+        wolfe_fail = _dot(g, d) < dstest
 
         accepted = ~bad_f & (early | (~armijo_fail & ~wolfe_fail))
 
@@ -160,7 +166,7 @@ def _two_loop(g, S, Y, YS, end, bound, ys, yy, m):
         j = jnp.mod(end - 1 - i, m)
         valid = i < bound
         denom = jnp.where(valid, YS[j], 1.0)
-        a = jnp.where(valid, jnp.dot(S[j], d) / denom, 0.0)
+        a = jnp.where(valid, _dot(S[j], d) / denom, 0.0)
         d = d - a * Y[j]
         return d, alpha.at[j].set(a)
 
@@ -171,7 +177,7 @@ def _two_loop(g, S, Y, YS, end, bound, ys, yy, m):
         j = jnp.mod(end - bound + i, m)
         valid = i < bound
         denom = jnp.where(valid, YS[j], 1.0)
-        b = jnp.where(valid, jnp.dot(Y[j], d) / denom, 0.0)
+        b = jnp.where(valid, _dot(Y[j], d) / denom, 0.0)
         return d + jnp.where(valid, alpha[j] - b, 0.0) * S[j]
 
     return jax.lax.fori_loop(0, m, fwd, d)
@@ -215,7 +221,7 @@ def minimize(fun: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
         newest = jnp.mod(s.end - 1, m)
         ys = jnp.where(use_mem, s.YS[newest], 1.0)
         yy = jnp.where(use_mem,
-                       jnp.dot(s.Y[newest], s.Y[newest]), 1.0)
+                       _dot(s.Y[newest], s.Y[newest]), 1.0)
         d_mem = _two_loop(s.g, s.S, s.Y, s.YS, s.end, s.bound, ys, yy, m)
         d = jnp.where(use_mem, d_mem, -s.g)
 
@@ -248,8 +254,8 @@ def minimize(fun: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
         # memory update with cautious condition (lbfgs.hpp:647-677)
         s_vec = x - s.x
         y_vec = g - s.g
-        ys_new = jnp.dot(y_vec, s_vec)
-        cau = jnp.dot(s_vec, s_vec) * jnp.linalg.norm(s.g) * p.cautious_factor
+        ys_new = _dot(y_vec, s_vec)
+        cau = _dot(s_vec, s_vec) * jnp.linalg.norm(s.g) * p.cautious_factor
         accept = (ys_new > cau) & ~fail
         S = jnp.where(accept, s.S.at[s.end].set(s_vec), s.S)
         Y = jnp.where(accept, s.Y.at[s.end].set(y_vec), s.Y)

@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uneven_planner_tpu.config import MapConfig
+from uneven_planner_tpu.terrain import build, io
+from uneven_planner_tpu.terrain import grid as tgrid
+
+# Coarse test map keeps the CPU sweep small.
+TEST_CFG = MapConfig(xy_resolution=0.4, yaw_resolution=0.8)
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    return io.load_scene_cloud("desert")
+
+
+def test_eigh3_matches_numpy():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        A = rng.normal(size=(3, 3))
+        cov = A @ A.T
+        evals, v = build._eigh3_smallest(jnp.asarray(cov))
+        w_np, v_np = np.linalg.eigh(cov)
+        np.testing.assert_allclose(np.asarray(evals), w_np, rtol=1e-8,
+                                   atol=1e-10)
+        # eigenvector up to sign
+        dot = abs(float(np.dot(np.asarray(v), v_np[:, 0])))
+        assert dot > 1 - 1e-8, f"eigvec mismatch: |dot|={dot}"
+
+
+def _reference_fit(cell_pos, prev, points, cfg):
+    """Direct numpy port of the reference per-cell fit semantics
+    (uneven_map.cpp:317-398 + filter :5-43), brute force over the full
+    cloud — the oracle for the bucketed TPU kernel."""
+    zb = prev[2:4]
+    c = np.sqrt(max(1.0 - zb @ zb, 1e-12))
+    yaw = cell_pos[2]
+    xyaw = np.array([np.cos(yaw), np.sin(yaw), 0.0])
+    zb3 = np.array([zb[0], zb[1], c])
+    yb = np.cross(zb3, xyaw)
+    yb /= np.linalg.norm(yb)
+    xb = np.cross(yb, zb3)
+    RT = np.stack([xb, yb, zb3])
+    world_xy = cell_pos[:2] + xb[:2] * cfg.probe_offset
+    d2 = np.sum((points[:, :2] - world_xy) ** 2, axis=1)
+    z0 = points[np.argmin(d2), 2]
+    world_pos = np.array([world_xy[0], world_xy[1], z0])
+    rel = (points - world_pos) @ RT.T
+    inv_ell = np.array([1 / cfg.ellipsoid_x, 1 / cfg.ellipsoid_y,
+                        1 / cfg.ellipsoid_z])
+    member = np.sum((rel * inv_ell) ** 2, axis=1) < 1.0
+    sel = points[member]
+    if len(sel) == 0:
+        return np.array([world_pos[2], 0.0, 0.0, 0.0])
+    mean = sel.mean(axis=0)
+    cov = (sel - mean).T @ (sel - mean) / len(sel)
+    w, V = np.linalg.eigh(cov)
+    n = V[:, 0]
+    if n[2] < 0:
+        n = -n
+    sigma = 3 * w[0] / w.sum()
+    return np.array([mean[2], sigma, n[0], n[1]])
+
+
+def test_cell_fit_matches_reference_oracle(cloud):
+    """Bucketed single-cell fits must match the brute-force numpy oracle."""
+    cfg = TEST_CFG
+    buckets = build.build_buckets(cloud, cfg)
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        cell = np.array([rng.uniform(-4, 4), rng.uniform(-4, 4),
+                         rng.uniform(-np.pi, np.pi)])
+        prev = np.zeros(4)
+        got = np.asarray(build._fit_cell(
+            jnp.asarray(cell, jnp.float32), jnp.asarray(prev, jnp.float32),
+            buckets, cfg, first_iter=True))
+        want = _reference_fit(cell, prev, cloud, cfg)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_construct_map_desert(cloud):
+    grid = build.construct_map(cloud, TEST_CFG, chunk=8192)
+    nx, ny, nyaw = TEST_CFG.voxel_num
+    assert grid.data.shape == (nx, ny, nyaw, 4)
+    data = np.asarray(grid.data)
+    assert np.all(np.isfinite(data))
+    # sigma in [0, 1]
+    assert data[..., 1].min() >= -1e-6
+    assert data[..., 1].max() <= 1.0 + 1e-6
+    # interpolated z close to actual cloud z at random flat spots
+    sample = cloud[np.random.default_rng(2).integers(0, len(cloud), 200)]
+    inside = np.all(np.abs(sample[:, :2]) < 4.0, axis=1)
+    sample = sample[inside][:50]
+    zs = []
+    for p in sample:
+        v = tgrid.get_terrain(grid, jnp.asarray(
+            [p[0], p[1], 0.05], jnp.float32))
+        zs.append(float(v[0]))
+    err = np.abs(np.asarray(zs) - sample[:, 2])
+    # desert dunes are smooth; the plane-fit z is a local mean over the
+    # 0.2 m ellipsoid probe ahead of the cell, so allow decimeter-level slack
+    assert np.median(err) < 0.1, f"median z err {np.median(err)}"
+
+    # occupancy exists and is not everything
+    occ_frac = float(np.asarray(grid.occ).mean())
+    assert 0.0 <= occ_frac < 0.9

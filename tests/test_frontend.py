@@ -1,0 +1,79 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uneven_planner_tpu.config import FrontendConfig, MapConfig
+from uneven_planner_tpu.frontend import kino_init
+from uneven_planner_tpu.terrain import grid as tgrid
+from uneven_planner_tpu.terrain.synthetic import make_synthetic_grid
+
+TEST_CFG = MapConfig(xy_resolution=0.2, yaw_resolution=0.45)
+FE = dataclasses.replace(FrontendConfig(), frontier_size=128, max_rounds=60)
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return make_synthetic_grid(TEST_CFG)
+
+
+def test_state_transit_matches_integration():
+    """Constant-curvature step vs fine Euler integration of the bicycle."""
+    st = jnp.asarray([0.3, -0.2, 0.7])
+    v, steer, T, L = 0.5, 0.3, 0.3, 0.26
+    got = np.asarray(kino_init.state_transit(st, jnp.asarray(v),
+                                             jnp.asarray(steer),
+                                             jnp.asarray(T), L))
+    x, y, th = map(float, st)
+    n = 20000
+    for _ in range(n):
+        dt = T / n
+        x += v * np.cos(th) * dt
+        y += v * np.sin(th) * dt
+        th += v * np.tan(steer) / L * dt
+    np.testing.assert_allclose(got, [x, y, ((th + np.pi) % (2 * np.pi)) - np.pi],
+                               atol=1e-5)
+
+
+def test_plan_open_terrain(grid):
+    start = jnp.asarray([-3.0, -3.0, 0.0])
+    goal = jnp.asarray([0.5, -3.0, 0.0])
+    res = jax.jit(lambda s, g: kino_init.plan(grid, FE, s, g))(start, goal)
+    assert bool(res.success), f"no path found in {int(res.rounds)} rounds"
+    path = kino_init.extract_path(res)
+    assert len(path) >= 3
+    np.testing.assert_allclose(path[0][:2], np.asarray(start[:2]), atol=1e-6)
+    np.testing.assert_allclose(path[-1], np.asarray(goal), atol=1e-5)
+    # bounded steps
+    d = np.linalg.norm(np.diff(path[:, :2], axis=0), axis=1)
+    assert d.max() < FE.max_vel * FE.time_interval + 1e-6
+    # path is collision-free on the 2D occupancy
+    for p in path:
+        assert not bool(tgrid.is_occupancy_xy(grid, jnp.asarray(p[:2])))
+    assert float(res.cost) > 0
+
+
+def test_plan_routes_around_obstacle(grid):
+    """Insert a synthetic occupancy wall; path must detour around it."""
+    occ_xy = np.asarray(grid.occ_xy).copy()
+    # wall at x = -1.5 (index 17-18) covering y indices 0..17 (wall with a
+    # gap at the top of the map)
+    ix = int((-1.5 - grid.origin[0]) / grid.xy_resolution)
+    occ_xy[ix:ix + 2, :34] = True
+    blocked = grid.replace(occ_xy=jnp.asarray(occ_xy))
+    start = jnp.asarray([-3.0, -3.0, 0.0])
+    goal = jnp.asarray([0.5, -3.0, 0.0])
+    fe = dataclasses.replace(FE, frontier_size=512, max_rounds=200)
+    res = jax.jit(lambda s, g: kino_init.plan(blocked, fe, s, g))(start, goal)
+    assert bool(res.success)
+    path = kino_init.extract_path(res)
+    # wall occupies x in [-1.6, -1.2] for y < 1.8; any path point inside
+    # that band must be above the gap
+    in_band = path[(path[:, 0] >= -1.6) & (path[:, 0] <= -1.2)]
+    assert len(in_band) > 0, "path never crossed the wall line"
+    assert in_band[:, 1].min() > 1.6, "path crossed through the wall region"
+    # and the detour costs more than the straight path would
+    straight = float(jnp.linalg.norm(goal[:2] - start[:2]))
+    assert float(res.cost) > straight

@@ -83,6 +83,15 @@ class FrontendConfig:
     # per wavefront round and max rounds.
     frontier_size: int = 1024
     max_rounds: int = 160
+    # Dedup cell size for the parallel search; None -> min(map resolution,
+    # half the per-round arc progress) so a primitive always escapes its
+    # cell.
+    dedup_resolution: float | None = None
+    # Yaw bin width for search dedup.  The reference's 3.15 rad half-plane
+    # bins cannot represent wall-following maneuvers (a heading of 0.9 and
+    # pi/2 share a cell, so the better-oriented state is pruned); finer bins
+    # keep the batched search complete in cluttered maps.
+    dedup_yaw_resolution: float = 0.6
 
 
 @dataclasses.dataclass(frozen=True)

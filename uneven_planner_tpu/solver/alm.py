@@ -300,7 +300,9 @@ def init_scaling(x0, bound, shape, grid, cfg) -> Scaling:
         h, g = raw_constraints(x, bound, shape, grid, cfg)
         return jnp.concatenate([h[..., None], g], axis=-1).reshape(-1)
 
-    J = jax.jacrev(cons)(x0)  # [N*K1*7, n]
+    # jacfwd: n_vars (~40) JVP columns instead of n_constraints (~1200) VJP
+    # rows — an order of magnitude cheaper for this Jacobian shape
+    J = jax.jacfwd(cons)(x0)  # [N*K1*7, n]
     norms = jnp.max(jnp.abs(J), axis=-1)
     scale_cx = (1.0 / jnp.maximum(1.0, norms)).reshape(
         shape.piece_xy, shape.int_K + 1, 7)

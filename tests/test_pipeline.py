@@ -1,0 +1,81 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uneven_planner_tpu.config import (FrontendConfig, MapConfig, MPCConfig,
+                                       scene_config)
+from uneven_planner_tpu.minco import minco
+from uneven_planner_tpu.minco.traj import SE2Traj, se2_state
+from uneven_planner_tpu.mpc import traj_msg
+from uneven_planner_tpu.parallel import pipeline
+from uneven_planner_tpu.solver import alm
+from uneven_planner_tpu.terrain.synthetic import make_synthetic_grid
+
+TEST_MAP = MapConfig(xy_resolution=0.2, yaw_resolution=0.45)
+
+
+def test_traj_msg_roundtrip_exact():
+    """A MINCO trajectory with zero boundary v/a survives the wire-format
+    round trip exactly (the controller re-solves the same system,
+    traj_anal.hpp:125-181)."""
+    rng = np.random.default_rng(0)
+    N = 6
+    inner = jnp.asarray(rng.normal(size=(N - 1, 2)))
+    ts = jnp.asarray(rng.uniform(0.5, 1.2, size=N))
+    zero = jnp.zeros((1, 2))
+    head = jnp.concatenate([jnp.asarray([[0.5, -0.3]]), zero, zero])
+    tail = jnp.concatenate([jnp.asarray([[2.0, 1.0]]), zero, zero])
+    c_xy = minco.generate(inner, ts, head, tail)
+    c_yaw = minco.generate(jnp.asarray(rng.normal(size=(N - 1, 1))), ts,
+                           jnp.zeros((3, 1)), jnp.zeros((3, 1)))
+    traj = SE2Traj(c_xy, ts, c_yaw, ts)
+
+    msg = traj_msg.msg_from_traj(traj)
+    back = traj_msg.traj_from_msg(msg)
+    np.testing.assert_allclose(np.asarray(back.c_xy), np.asarray(traj.c_xy),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(back.c_yaw),
+                               np.asarray(traj.c_yaw), rtol=1e-8, atol=1e-9)
+
+
+def test_figure_eight_traj():
+    traj = traj_msg.figure_eight(max_vel=0.4)
+    t = jnp.asarray(0.0)
+    pos, vel, _, yaw, _, _ = se2_state(traj, t)
+    assert np.isfinite(np.asarray(pos)).all()
+    # closed-ish curve: end returns near start
+    end_pos, *_ = se2_state(traj, traj.total_duration)
+    np.testing.assert_allclose(np.asarray(end_pos), np.asarray(pos),
+                               atol=1e-6)
+
+
+def test_full_pipeline_single_scenario():
+    """search -> ALM -> wire round trip -> closed-loop MPC tracking, one
+    jitted program."""
+    scfg = scene_config("hill")
+    scfg = dataclasses.replace(
+        scfg,
+        map=TEST_MAP,
+        frontend=dataclasses.replace(scfg.frontend, frontier_size=128,
+                                     max_rounds=60),
+        mpc=dataclasses.replace(scfg.mpc, qp_max_iter=800),
+    )
+    grid = make_synthetic_grid(TEST_MAP)
+    shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=16)
+    start = jnp.asarray([-3.0, -3.0, 0.0])
+    goal = jnp.asarray([0.0, -3.0, 0.0])
+
+    run = jax.jit(lambda s, g, gr: pipeline.plan_track_scenario(
+        gr, scfg, s, g, shape, n_track_steps=400,
+        lbfgs_overrides={"mem_size": 32, "max_iterations": 200},
+        max_sqp_iter=1))
+    res = run(start, goal, grid)
+    assert bool(res.plan_success), "front end failed"
+    assert bool(res.alm_converged), "back end failed"
+    assert float(res.mean_track_err) < 0.12, \
+        f"tracking error {float(res.mean_track_err)}"
+    assert float(res.final_track_err) < 0.08
+    assert float(res.non_hol) < 1.0

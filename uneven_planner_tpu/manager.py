@@ -117,3 +117,59 @@ def init_guess_fixed(path: np.ndarray, cfg: ManagerConfig,
     bound = _boundary(path, cfg)
     x0 = pack(np.asarray(logC2(total_time)), inner_xy, inner_yaw)
     return np.asarray(x0), bound
+
+
+# ---------------------------------------------------------------------------
+# JAX (in-graph) init guess for the fully fused plan->optimize pipeline
+# ---------------------------------------------------------------------------
+
+def init_guess_fixed_jax(path, mask, cfg: ManagerConfig,
+                         piece_xy: int, piece_yaw: int):
+    """Device-side equivalent of `init_guess_fixed` over a masked path
+    (the front end's padded output): compress valid rows, unwrap yaw,
+    resample inner points at equal arc-length fractions, build boundary
+    PVA and the packed decision vector."""
+    import jax
+    import jax.numpy as jnp
+    from uneven_planner_tpu.terrain.grid import so2_diff
+
+    L = path.shape[0]
+    order = jnp.argsort(~mask, stable=True)       # valid rows first
+    P = path[order]
+    n = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 2)
+    P = P[jnp.clip(jnp.arange(L), 0, n - 1)]      # pad tail with last valid
+
+    # unwrap yaw along the path (smooth yaw, plan_manager.cpp:62-77)
+    dyaw = so2_diff(P[1:, 2], P[:-1, 2])
+    yaw_un = jnp.concatenate([P[:1, 2], P[0, 2] + jnp.cumsum(dyaw)])
+
+    seg = jnp.linalg.norm(P[1:, :2] - P[:-1, :2], axis=1)
+    arcs = jnp.concatenate([jnp.zeros(1, P.dtype), jnp.cumsum(seg)])
+    total_len = arcs[-1]
+
+    fr_xy = total_len * jnp.arange(1, piece_xy, dtype=P.dtype) / piece_xy
+    fr_yaw = total_len * jnp.arange(1, piece_yaw, dtype=P.dtype) / piece_yaw
+    inner_x = jnp.interp(fr_xy, arcs, P[:, 0])
+    inner_y = jnp.interp(fr_xy, arcs, P[:, 1])
+    inner_xy = jnp.stack([inner_x, inner_y], axis=1)
+    inner_yaw = jnp.interp(fr_yaw, arcs, yaw_un)[:, None]
+
+    y0 = yaw_un[0]
+    y1 = yaw_un[-1]
+    sv = cfg.init_sig_vel
+    head_xy = jnp.stack([P[0, :2],
+                         jnp.stack([sv * jnp.cos(y0), sv * jnp.sin(y0)]),
+                         jnp.zeros(2, P.dtype)])
+    tail_xy = jnp.stack([P[-1, :2],
+                         jnp.stack([sv * jnp.cos(y1), sv * jnp.sin(y1)]),
+                         jnp.zeros(2, P.dtype)])
+    head_yaw = jnp.stack([y0[None], jnp.zeros(1, P.dtype),
+                          jnp.zeros(1, P.dtype)])
+    tail_yaw = jnp.stack([y1[None], jnp.zeros(1, P.dtype),
+                          jnp.zeros(1, P.dtype)])
+
+    total_time = total_len / cfg.mean_vel * cfg.init_time_times
+    from uneven_planner_tpu.solver.alm import logC2 as _logC2
+    x0 = pack(_logC2(total_time), inner_xy, inner_yaw)
+    return x0, Boundary(head_xy=head_xy, tail_xy=tail_xy,
+                        head_yaw=head_yaw, tail_yaw=tail_yaw)

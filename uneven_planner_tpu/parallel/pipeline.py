@@ -1,0 +1,79 @@
+"""Fused plan -> optimize -> track pipeline.
+
+The end-to-end product (BASELINE config 5 shape): front-end batched search,
+MINCO PHR-ALM optimization, wire-format round trip, and closed-loop MPC
+tracking in the batched simulator — one jitted program per scenario, vmapped
+over the scenario batch and shardable over a device mesh.  This replaces the
+reference's ROS node graph (goal callback -> plan_manager -> traj topic ->
+mpc node -> cmd topic -> Gazebo, SURVEY.md §3.2-3.4) with a single pure
+function.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from uneven_planner_tpu import manager
+from uneven_planner_tpu.config import SceneConfig
+from uneven_planner_tpu.frontend import kino_init
+from uneven_planner_tpu.minco.traj import max_metrics, non_hol_error
+from uneven_planner_tpu.mpc import traj_msg
+from uneven_planner_tpu.sim import rollout
+from uneven_planner_tpu.solver import alm
+from uneven_planner_tpu.terrain import grid as tgrid
+
+
+class PipelineResult(NamedTuple):
+    plan_success: jax.Array
+    alm_converged: jax.Array
+    outer_iters: jax.Array
+    inner_iters: jax.Array
+    non_hol: jax.Array
+    mean_track_err: jax.Array
+    final_track_err: jax.Array
+
+
+def plan_track_scenario(grid: tgrid.TerrainGrid, scfg: SceneConfig,
+                        start, goal, shape: alm.ProblemShape,
+                        n_track_steps: int = 500,
+                        lbfgs_overrides=None,
+                        max_sqp_iter: int = 2,
+                        metric_samples: int = 1024) -> PipelineResult:
+    """One full scenario: search -> optimize -> message round trip ->
+    closed-loop tracking.  vmap over (start, goal) for batches."""
+    kres = kino_init.plan(grid, scfg.frontend, start, goal)
+
+    x0, bound = manager.init_guess_fixed_jax(
+        kres.path, kres.path_mask, scfg.manager,
+        shape.piece_xy, shape.piece_yaw)
+    ares = alm.solve(x0, bound, shape, grid, scfg.alm,
+                     lbfgs_overrides=lbfgs_overrides)
+
+    # wire-format round trip: the tracker reconstructs the polynomial from
+    # waypoints + times exactly as the reference controller does
+    msg = traj_msg.msg_from_traj(ares.traj)
+    traj = traj_msg.traj_from_msg(msg)
+
+    start_state = jnp.stack([start[0], start[1], start[2]])
+    tres = rollout.track_trajectory(traj, start_state, scfg.mpc,
+                                    n_steps=n_track_steps,
+                                    max_sqp_iter=max_sqp_iter)
+
+    nh = non_hol_error(ares.traj, num_samples=metric_samples)
+    return PipelineResult(
+        plan_success=kres.success,
+        alm_converged=ares.converged,
+        outer_iters=ares.outer_iters,
+        inner_iters=ares.inner_iters,
+        non_hol=nh,
+        mean_track_err=tres.mean_err,
+        final_track_err=tres.errs[-1])
+
+
+def plan_track_batch(grid, scfg, starts, goals, shape,
+                     **kwargs):
+    return jax.vmap(lambda s, g: plan_track_scenario(
+        grid, scfg, s, g, shape, **kwargs))(starts, goals)

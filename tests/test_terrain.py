@@ -118,3 +118,17 @@ def test_se3_lift(grid):
     np.testing.assert_allclose(yaws, np.asarray(poses[:, 2]), atol=1e-9)
     z_true = hill_height(np.asarray(poses[:, 0]), np.asarray(poses[:, 1]))
     np.testing.assert_allclose(p3[:, 2], z_true, atol=3e-2)
+
+
+def test_batched_lookup_matches_scalar(grid):
+    poses = _sample_poses(64, seed=7)
+    vb = tgrid.get_terrain_batch(grid, poses)
+    v7b = tgrid.get_terrain_variables_batch(grid, poses)
+    vs = jax.vmap(lambda p: tgrid.get_terrain(grid, p))(poses)
+    v7s = jax.vmap(lambda p: tgrid.get_terrain_variables(grid, p))(poses)
+    np.testing.assert_allclose(np.asarray(vb), np.asarray(vs), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v7b), np.asarray(v7s), atol=1e-12)
+    # out-of-map rows are zero
+    far = jnp.asarray([[100.0, 0.0, 0.0]])
+    np.testing.assert_array_equal(
+        np.asarray(tgrid.get_terrain_batch(grid, far)), np.zeros((1, 4)))

@@ -175,8 +175,8 @@ def _sample_kernel(x, bound: Boundary, shape: ProblemShape,
     # terrain 7-tuple at every sample
     se2 = jnp.stack([pos[..., 0], pos[..., 1], tgrid.normalize_so2(yaw)],
                     axis=-1)
-    tv = jax.vmap(lambda p: tgrid.get_terrain_variables(grid, p))(
-        se2.reshape(-1, 3)).reshape(N, K1, 7)
+    tv = tgrid.get_terrain_variables_batch(
+        grid, se2.reshape(-1, 3)).reshape(N, K1, 7)
     inv_cos_vphix, sin_phix = tv[..., 0], tv[..., 1]
     inv_cos_vphiy, sin_phiy = tv[..., 2], tv[..., 3]
     cos_xi, inv_cos_xi, sigma = tv[..., 4], tv[..., 5], tv[..., 6]

@@ -329,3 +329,72 @@ def yaw_from_rotation(R: jax.Array) -> jax.Array:
 
 def terrain_sigma(grid: TerrainGrid, pos: jax.Array) -> jax.Array:
     return get_terrain(grid, pos)[1]
+
+
+# ---------------------------------------------------------------------------
+# Batched lookups (the solver hot path)
+# ---------------------------------------------------------------------------
+
+def get_terrain_batch(grid: TerrainGrid, poses: jax.Array) -> jax.Array:
+    """[M, 4] RXS2 values for [M, 3] SE(2) poses.
+
+    Same semantics as `get_terrain` but with all 8 corners gathered through
+    one flat-index `take` — per-pose vmapped gathers are latency-bound on
+    TPU (measured ~6 ms for 43k lookups; this path is ~an order of magnitude
+    cheaper)."""
+    nx, ny, nyaw = grid.voxel_num
+    dtype = poses.dtype
+    half = jnp.asarray([0.5 * grid.xy_resolution, 0.5 * grid.xy_resolution,
+                        0.5 * grid.yaw_resolution], dtype)
+    o = jnp.asarray(grid.origin, dtype)
+    res_inv = jnp.asarray([1.0 / grid.xy_resolution,
+                           1.0 / grid.xy_resolution,
+                           1.0 / grid.yaw_resolution], dtype)
+
+    pos_m = poses - half
+    pos_m = pos_m.at[:, 2].set(normalize_so2(pos_m[:, 2]))
+    idx = jnp.floor((pos_m - o) * res_inv).astype(jnp.int32)   # [M,3]
+    idx_pos = (idx.astype(dtype) + 0.5) / res_inv + o
+    diff = jnp.stack([
+        (poses[:, 0] - idx_pos[:, 0]) * res_inv[0],
+        (poses[:, 1] - idx_pos[:, 1]) * res_inv[1],
+        so2_diff(poses[:, 2], idx_pos[:, 2]) * res_inv[2],
+    ], axis=1)                                                  # [M,3]
+
+    ix = jnp.clip(idx[:, 0, None] + jnp.arange(2), 0, nx - 1)   # [M,2]
+    iy = jnp.clip(idx[:, 1, None] + jnp.arange(2), 0, ny - 1)
+    iw = jnp.mod(idx[:, 2, None] + jnp.arange(2), nyaw)
+    # flat addresses for the 8 corners: [M, 2, 2, 2]
+    flat = ((ix[:, :, None, None] * ny + iy[:, None, :, None]) * nyaw
+            + iw[:, None, None, :])
+    v = jnp.take(grid.data.reshape(-1, 4), flat.reshape(-1, 8).reshape(-1),
+                 axis=0).reshape(-1, 2, 2, 2, 4)
+
+    w0 = diff[:, 0].reshape(-1, 1, 1, 1)
+    w1 = diff[:, 1].reshape(-1, 1, 1)
+    w2 = diff[:, 2].reshape(-1, 1)
+    vx = v[:, 0] * (1 - w0) + v[:, 1] * w0                      # [M,2,2,4]
+    vy = vx[:, 0] * (1 - w1) + vx[:, 1] * w1                    # [M,2,4]
+    val = vy[:, 0] * (1 - w2) + vy[:, 1] * w2                   # [M,4]
+
+    lo = jnp.asarray(grid.min_boundary, dtype)
+    hi = jnp.asarray(grid.max_boundary, dtype)
+    inside = jnp.all(poses > lo + 1e-4, axis=1) & \
+        jnp.all(poses < hi - 1e-4, axis=1)
+    return jnp.where(inside[:, None], val, 0.0)
+
+
+def get_terrain_variables_batch(grid: TerrainGrid,
+                                poses: jax.Array) -> jax.Array:
+    """[M, 7] terrain variables (batched `get_terrain_variables`)."""
+    value = get_terrain_batch(grid, poses)
+    zb0, zb1 = value[:, 2], value[:, 3]
+    c = jnp.sqrt(jnp.maximum(1.0 - zb0 * zb0 - zb1 * zb1, 1e-12))
+    inv_c = 1.0 / c
+    cyaw, syaw = jnp.cos(poses[:, 2]), jnp.sin(poses[:, 2])
+    t = cyaw * zb0 + syaw * zb1
+    s = syaw * zb0 - cyaw * zb1
+    sqrt_1_t2 = jnp.sqrt(jnp.maximum(1.0 - t * t, 1e-12))
+    inv_sq = 1.0 / sqrt_1_t2
+    return jnp.stack([inv_sq, -c * t * inv_sq, sqrt_1_t2 * inv_c,
+                      s * inv_sq, c, inv_c, value[:, 1]], axis=1)

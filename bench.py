@@ -57,7 +57,7 @@ def main():
     bounds = jax.tree.map(lambda *a: jnp.asarray(np.stack(a), jnp.float32),
                           *bounds)
 
-    overrides = {"mem_size": 32, "max_iterations": 250}
+    overrides = {"mem_size": 8, "max_iterations": 250}
     # grid passed as an argument (not a closure constant) so the 10 MB field
     # lives in HBM instead of being baked into the HLO
     run = jax.jit(lambda xs, bs, g: jax.vmap(

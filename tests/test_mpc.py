@@ -127,3 +127,27 @@ def test_at_goal_zeroes_command():
     ag = np.asarray(res.at_goal)
     assert ag[-1], "should reach at_goal after duration + 1s"
     np.testing.assert_allclose(np.asarray(res.cmds)[ag], 0.0, atol=1e-12)
+
+
+def test_ackermann_wheel_mapping():
+    """Wheel mapping geometry (cmdvel2gazebo.py:96-135): inner wheel slower
+    and steered sharper; straight line -> equal speeds, zero steer."""
+    from uneven_planner_tpu.sim import ackermann as ak
+
+    wc = ak.wheel_commands(jnp.asarray(0.02), jnp.asarray(0.3),
+                           jnp.asarray(False))
+    # left turn (positive steer): left is the inside wheel
+    assert float(wc.rear_left) < float(wc.rear_right)
+    assert float(wc.steer_left) > float(wc.steer_right) > 0
+    # straight
+    wc0 = ak.wheel_commands(jnp.asarray(0.02), jnp.asarray(0.0),
+                            jnp.asarray(False))
+    np.testing.assert_allclose(float(wc0.rear_left), float(wc0.rear_right))
+    assert float(wc0.steer_left) == 0.0
+    # dead-man zeroes everything
+    wcs = ak.wheel_commands(jnp.asarray(0.02), jnp.asarray(0.3),
+                            jnp.asarray(True))
+    assert float(wcs.rear_left) == 0.0 and float(wcs.steer_left) == 0.0
+    # rear-axle pose offset (true_state_pub.py:49-53)
+    pose = ak.rear_axle_pose(jnp.asarray([1.0, 2.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(pose), [0.87, 2.0, 0.0], atol=1e-12)

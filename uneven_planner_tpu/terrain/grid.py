@@ -361,21 +361,31 @@ def get_terrain_batch(grid: TerrainGrid, poses: jax.Array) -> jax.Array:
         so2_diff(poses[:, 2], idx_pos[:, 2]) * res_inv[2],
     ], axis=1)                                                  # [M,3]
 
+    M = poses.shape[0]
     ix = jnp.clip(idx[:, 0, None] + jnp.arange(2), 0, nx - 1)   # [M,2]
     iy = jnp.clip(idx[:, 1, None] + jnp.arange(2), 0, ny - 1)
-    iw = jnp.mod(idx[:, 2, None] + jnp.arange(2), nyaw)
-    # flat addresses for the 8 corners: [M, 2, 2, 2]
-    flat = ((ix[:, :, None, None] * ny + iy[:, None, :, None]) * nyaw
-            + iw[:, None, None, :])
-    v = jnp.take(grid.data.reshape(-1, 4), flat.reshape(-1, 8).reshape(-1),
-                 axis=0).reshape(-1, 2, 2, 2, 4)
+    iw = jnp.mod(idx[:, 2, None] + jnp.arange(2), nyaw)         # [M,2]
 
-    w0 = diff[:, 0].reshape(-1, 1, 1, 1)
-    w1 = diff[:, 1].reshape(-1, 1, 1)
-    w2 = diff[:, 2].reshape(-1, 1)
-    vx = v[:, 0] * (1 - w0) + v[:, 1] * w0                      # [M,2,2,4]
-    vy = vx[:, 0] * (1 - w1) + vx[:, 1] * w1                    # [M,2,4]
-    val = vy[:, 0] * (1 - w2) + vy[:, 1] * w2                   # [M,4]
+    # Gather whole yaw rings for the 4 xy corners (rows of Nyaw*4 floats are
+    # lane-aligned and ~8x cheaper on TPU than 16-byte corner rows), then
+    # contract the yaw dimension with a 2-hot interpolation vector.
+    rows = (ix[:, :, None] * ny + iy[:, None, :]).reshape(-1)   # [M*4]
+    ring = jnp.take(grid.data.reshape(nx * ny, nyaw * 4), rows,
+                    axis=0, mode="clip").reshape(M, 2, 2, nyaw, 4)
+
+    w2 = diff[:, 2]
+    wyaw = jnp.zeros((M, nyaw), dtype)
+    m_ar = jnp.arange(M)
+    wyaw = wyaw.at[m_ar, iw[:, 0]].add(1.0 - w2)
+    wyaw = wyaw.at[m_ar, iw[:, 1]].add(w2)
+
+    w0 = diff[:, 0]
+    w1 = diff[:, 1]
+    wxy = jnp.stack([(1 - w0) * (1 - w1), (1 - w0) * w1,
+                     w0 * (1 - w1), w0 * w1], axis=1)            # [M,4]
+    val = jnp.einsum("ma,mw,mawc->mc", wxy,
+                     wyaw, ring.reshape(M, 4, nyaw, 4),
+                     precision=jax.lax.Precision.HIGHEST)
 
     lo = jnp.asarray(grid.min_boundary, dtype)
     hi = jnp.asarray(grid.max_boundary, dtype)

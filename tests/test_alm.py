@@ -128,3 +128,40 @@ def test_inner_cost_grad_matches_fd(grid):
             / (2 * eps)
         np.testing.assert_allclose(float(g[j]), fd, rtol=5e-5, atol=1e-6,
                                    err_msg=f"x[{j}]")
+
+
+def test_determinism(grid):
+    """Two identical jitted solves must agree bitwise (single-chip
+    determinism, SURVEY §4 implication)."""
+    path = _straight_path((-3.0, -3.0), (-1.5, -3.0))
+    x0, bound, shape = manager.init_guess_from_path(path, ManagerConfig())
+    cfg = ALMConfig()
+    bound = jax.tree.map(jnp.asarray, bound)
+    run = jax.jit(lambda x, b, g: alm.solve(x, b, shape, g, cfg,
+                                            lbfgs_overrides=LB_OVR))
+    r1 = run(jnp.asarray(x0), bound, grid)
+    r2 = run(jnp.asarray(x0), bound, grid)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+    assert int(r1.inner_iters) == int(r2.inner_iters)
+
+
+def test_warm_dual_start(grid):
+    """Warm-starting the duals from a previous solve converges at least as
+    fast (replanning path)."""
+    path = _straight_path((-3.0, -3.0), (-1.5, -3.0))
+    x0, bound, shape = manager.init_guess_from_path(path, ManagerConfig())
+    cfg = ALMConfig()
+    bound = jax.tree.map(jnp.asarray, bound)
+    run = jax.jit(lambda x, b, g: alm.solve(x, b, shape, g, cfg,
+                                            lbfgs_overrides=LB_OVR))
+    cold = run(jnp.asarray(x0), bound, grid)
+    E, I = shape.equal_num, shape.non_equal_num
+    # re-solve the (already solved) problem with warmed duals: should
+    # converge in very few outer iterations
+    warm = alm.DualState(lam=jnp.zeros((E,)), mu=jnp.zeros((I,)),
+                         rho=jnp.asarray(4.0))
+    run_w = jax.jit(lambda x, b, g: alm.solve(
+        x, b, shape, g, cfg, lbfgs_overrides=LB_OVR, warm_duals=warm))
+    re = run_w(cold.x, bound, grid)
+    assert bool(re.converged)
+    assert int(re.outer_iters) <= int(cold.outer_iters)

@@ -335,8 +335,13 @@ def lbfgs_params_from(cfg: ALMConfig) -> lbfgs.LBFGSParams:
 
 def solve(x0, bound: Boundary, shape: ProblemShape,
           grid: tgrid.TerrainGrid, cfg: ALMConfig,
-          lbfgs_overrides: dict | None = None) -> ALMResult:
-    """One full ALM solve (vmap over leading axes of x0/bound to batch)."""
+          lbfgs_overrides: dict | None = None,
+          warm_duals: DualState | None = None) -> ALMResult:
+    """One full ALM solve (vmap over leading axes of x0/bound to batch).
+
+    `warm_duals` warm-starts the multipliers/penalty — the replanning analog
+    of the reference's carried MPC warm-start state (SURVEY.md §5
+    checkpoint/resume)."""
     dtype = x0.dtype
     E, I = shape.equal_num, shape.non_equal_num
 
@@ -391,10 +396,12 @@ def solve(x0, bound: Boundary, shape: ProblemShape,
                      inner_iters=c.inner_iters + res.iters,
                      res_h=res_h, res_g=res_g, lbfgs_status=res.status)
 
+    duals0 = warm_duals if warm_duals is not None else DualState(
+        lam=jnp.zeros((E,), dtype), mu=jnp.zeros((I,), dtype),
+        rho=jnp.asarray(cfg.rho, dtype))
     init = Carry(
         x=x0,
-        duals=DualState(lam=jnp.zeros((E,), dtype), mu=jnp.zeros((I,), dtype),
-                        rho=jnp.asarray(cfg.rho, dtype)),
+        duals=duals0,
         it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
         inner_iters=jnp.asarray(0, jnp.int32),
         res_h=jnp.asarray(jnp.inf, dtype), res_g=jnp.asarray(jnp.inf, dtype),

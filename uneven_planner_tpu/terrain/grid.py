@@ -367,25 +367,33 @@ def get_terrain_batch(grid: TerrainGrid, poses: jax.Array) -> jax.Array:
     iw = jnp.mod(idx[:, 2, None] + jnp.arange(2), nyaw)         # [M,2]
 
     # Gather whole yaw rings for the 4 xy corners (rows of Nyaw*4 floats are
-    # lane-aligned and ~8x cheaper on TPU than 16-byte corner rows), then
-    # contract the yaw dimension with a 2-hot interpolation vector.
+    # lane-aligned; 4 gather indices per sample instead of 8), then contract
+    # yaw with a 2-hot weight vector.  All intermediates keep the fused
+    # (Nyaw*4)-wide minor dim: any [..., 4]-minor tensor gets padded 32x by
+    # the TPU (8,128) tiling and OOMs at large batch.
     rows = (ix[:, :, None] * ny + iy[:, None, :]).reshape(-1)   # [M*4]
-    ring = jnp.take(grid.data.reshape(nx * ny, nyaw * 4), rows,
-                    axis=0, mode="clip").reshape(M, 2, 2, nyaw, 4)
+    G = jnp.take(grid.data.reshape(nx * ny, nyaw * 4), rows,
+                 axis=0, mode="clip")                            # [M*4, W*4]
+
+    w0 = diff[:, 0]
+    w1 = diff[:, 1]
+    wxy = jnp.stack([(1 - w0) * (1 - w1), (1 - w0) * w1,
+                     w0 * (1 - w1), w0 * w1], axis=1)            # [M,4]
+    r2 = jnp.sum((G * wxy.reshape(-1, 1)).reshape(M, 4, nyaw * 4),
+                 axis=1)                                         # [M, W*4]
 
     w2 = diff[:, 2]
     wyaw = jnp.zeros((M, nyaw), dtype)
     m_ar = jnp.arange(M)
     wyaw = wyaw.at[m_ar, iw[:, 0]].add(1.0 - w2)
     wyaw = wyaw.at[m_ar, iw[:, 1]].add(w2)
+    wexp = jnp.repeat(wyaw, 4, axis=1)                           # [M, W*4]
 
-    w0 = diff[:, 0]
-    w1 = diff[:, 1]
-    wxy = jnp.stack([(1 - w0) * (1 - w1), (1 - w0) * w1,
-                     w0 * (1 - w1), w0 * w1], axis=1)            # [M,4]
-    val = jnp.einsum("ma,mw,mawc->mc", wxy,
-                     wyaw, ring.reshape(M, 4, nyaw, 4),
-                     precision=jax.lax.Precision.HIGHEST)
+    # channel extraction as a [W*4, 4] mask matmul (keeps layouts clean)
+    cmask = (jnp.arange(nyaw * 4)[:, None] % 4
+             == jnp.arange(4)[None, :]).astype(dtype)
+    val = jnp.matmul(r2 * wexp, cmask,
+                     precision=jax.lax.Precision.HIGHEST)        # [M, 4]
 
     lo = jnp.asarray(grid.min_boundary, dtype)
     hi = jnp.asarray(grid.max_boundary, dtype)

@@ -27,6 +27,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
     from uneven_planner_tpu.config import scene_config
     from uneven_planner_tpu import manager
     from uneven_planner_tpu.solver import alm
@@ -64,15 +70,30 @@ def main():
         lambda x, b: alm.solve(x, b, shape, g, cfg.alm,
                                lbfgs_overrides=overrides))(xs, bs))
 
-    res = run(x0s, bounds, grid)
-    jax.block_until_ready(res)
+    # Sub-batched async dispatch: the vmapped while_loops run in lockstep, so
+    # one huge batch pays the max iteration count over all lanes.  Smaller
+    # chunks dispatched back-to-back (XLA queues them) keep the device busy
+    # while bounding each chunk's lockstep waste to its own worst lane.
+    chunk = min(int(os.environ.get("BENCH_CHUNK", "256")), B)
+    assert B % chunk == 0
+    xc = x0s.reshape(B // chunk, chunk, -1)
+    bc = jax.tree.map(
+        lambda a: a.reshape((B // chunk, chunk) + a.shape[1:]), bounds)
+
+    def run_all():
+        outs = [run(xc[i], jax.tree.map(lambda a: a[i], bc), grid)
+                for i in range(B // chunk)]
+        jax.block_until_ready(outs)
+        return outs
+
+    outs = run_all()
 
     n_rep = int(os.environ.get("BENCH_REPS", "3"))
     t0 = time.time()
     for _ in range(n_rep):
-        res = run(x0s, bounds, grid)
-        jax.block_until_ready(res)
+        outs = run_all()
     dt = (time.time() - t0) / n_rep
+    res = jax.tree.map(lambda *a: jnp.concatenate(a), *outs)
 
     solves_per_sec = B / dt
     conv = float(np.mean(np.asarray(res.converged)))

@@ -335,13 +335,14 @@ def terrain_sigma(grid: TerrainGrid, pos: jax.Array) -> jax.Array:
 # Batched lookups (the solver hot path)
 # ---------------------------------------------------------------------------
 
-def get_terrain_batch(grid: TerrainGrid, poses: jax.Array) -> jax.Array:
-    """[M, 4] RXS2 values for [M, 3] SE(2) poses.
+# Selectable implementation for the batched lookup ("ring" gathers yaw rings
+# + weight contraction; "flat" gathers the 8 corners directly).  Ring wins on
+# gather count, flat on elementwise volume; benchmarked per hardware.
+LOOKUP_IMPL = "ring"
 
-    Same semantics as `get_terrain` but with all 8 corners gathered through
-    one flat-index `take` — per-pose vmapped gathers are latency-bound on
-    TPU (measured ~6 ms for 43k lookups; this path is ~an order of magnitude
-    cheaper)."""
+
+def get_terrain_batch(grid: TerrainGrid, poses: jax.Array) -> jax.Array:
+    """[M, 4] RXS2 values for [M, 3] SE(2) poses (batched `get_terrain`)."""
     nx, ny, nyaw = grid.voxel_num
     dtype = poses.dtype
     half = jnp.asarray([0.5 * grid.xy_resolution, 0.5 * grid.xy_resolution,
@@ -366,6 +367,23 @@ def get_terrain_batch(grid: TerrainGrid, poses: jax.Array) -> jax.Array:
     iy = jnp.clip(idx[:, 1, None] + jnp.arange(2), 0, ny - 1)
     iw = jnp.mod(idx[:, 2, None] + jnp.arange(2), nyaw)         # [M,2]
 
+    if LOOKUP_IMPL == "flat":
+        flat = ((ix[:, :, None, None] * ny + iy[:, None, :, None]) * nyaw
+                + iw[:, None, None, :])                          # [M,2,2,2]
+        v = jnp.take(grid.data.reshape(-1, 4), flat.reshape(-1), axis=0,
+                     mode="clip").reshape(M, 2, 2, 2, 4)
+        w0 = diff[:, 0].reshape(-1, 1, 1, 1)
+        w1 = diff[:, 1].reshape(-1, 1, 1)
+        w2 = diff[:, 2].reshape(-1, 1)
+        vx = v[:, 0] * (1 - w0) + v[:, 1] * w0
+        vy = vx[:, 0] * (1 - w1) + vx[:, 1] * w1
+        val = vy[:, 0] * (1 - w2) + vy[:, 1] * w2
+        lo = jnp.asarray(grid.min_boundary, dtype)
+        hi = jnp.asarray(grid.max_boundary, dtype)
+        inside = jnp.all(poses > lo + 1e-4, axis=1) & \
+            jnp.all(poses < hi - 1e-4, axis=1)
+        return jnp.where(inside[:, None], val, 0.0)
+
     # Gather whole yaw rings for the 4 xy corners (rows of Nyaw*4 floats are
     # lane-aligned; 4 gather indices per sample instead of 8), then contract
     # yaw with a 2-hot weight vector.  All intermediates keep the fused
@@ -383,10 +401,11 @@ def get_terrain_batch(grid: TerrainGrid, poses: jax.Array) -> jax.Array:
                  axis=1)                                         # [M, W*4]
 
     w2 = diff[:, 2]
-    wyaw = jnp.zeros((M, nyaw), dtype)
-    m_ar = jnp.arange(M)
-    wyaw = wyaw.at[m_ar, iw[:, 0]].add(1.0 - w2)
-    wyaw = wyaw.at[m_ar, iw[:, 1]].add(w2)
+    war = jnp.arange(nyaw)
+    # 2-hot yaw weights via iota compare (scatter-free: scatters inside the
+    # solver loops compile pathologically slowly on the TPU backend)
+    wyaw = ((war[None, :] == iw[:, 0:1]) * (1.0 - w2)[:, None]
+            + (war[None, :] == iw[:, 1:2]) * w2[:, None]).astype(dtype)
     wexp = jnp.repeat(wyaw, 4, axis=1)                           # [M, W*4]
 
     # channel extraction as a [W*4, 4] mask matmul (keeps layouts clean)

@@ -9,8 +9,9 @@ so vs_baseline reports value / 10000 (fraction of the target).
 Config mirrors BASELINE config 3 (batched back-end, one chip) at a reduced
 batch: B scenarios with fixed piece counts (10 xy / 20 yaw pieces, int_K=16),
 full hill-scale terrain grid (200x200x64), reference solver settings except
-the L-BFGS memory (32; the reference's 256 exceeds the 38-var problem size
-anyway) and inner iteration cap 250.
+the L-BFGS memory (8) and a per-outer-round inner cap of 30 (the ALM outer
+loop absorbs the cap; measured to keep 100% convergence while bounding the
+batch's lockstep tail).
 """
 
 import json
@@ -36,8 +37,10 @@ def main():
     from uneven_planner_tpu.config import scene_config
     from uneven_planner_tpu import manager
     from uneven_planner_tpu.solver import alm
+    from uneven_planner_tpu.terrain import grid as tgrid
     from uneven_planner_tpu.terrain.synthetic import make_synthetic_grid
 
+    tgrid.LOOKUP_IMPL = os.environ.get("BENCH_LOOKUP", "flat")
     B = int(os.environ.get("BENCH_BATCH", "256"))
     cfg = scene_config("hill")
     grid = jax.device_put(make_synthetic_grid(cfg.map, dtype=np.float32))
@@ -63,7 +66,7 @@ def main():
     bounds = jax.tree.map(lambda *a: jnp.asarray(np.stack(a), jnp.float32),
                           *bounds)
 
-    overrides = {"mem_size": 8, "max_iterations": 250}
+    overrides = {"mem_size": 8, "max_iterations": 30}
     # grid passed as an argument (not a closure constant) so the 10 MB field
     # lives in HBM instead of being baked into the HLO
     run = jax.jit(lambda xs, bs, g: jax.vmap(
@@ -74,7 +77,7 @@ def main():
     # one huge batch pays the max iteration count over all lanes.  Smaller
     # chunks dispatched back-to-back (XLA queues them) keep the device busy
     # while bounding each chunk's lockstep waste to its own worst lane.
-    chunk = min(int(os.environ.get("BENCH_CHUNK", "256")), B)
+    chunk = min(int(os.environ.get("BENCH_CHUNK", "128")), B)
     assert B % chunk == 0
     xc = x0s.reshape(B // chunk, chunk, -1)
     bc = jax.tree.map(

@@ -165,3 +165,34 @@ def test_warm_dual_start(grid):
     re = run_w(cold.x, bound, grid)
     assert bool(re.converged)
     assert int(re.outer_iters) <= int(cold.outer_iters)
+
+
+def test_solve_compacted_matches_solve(grid):
+    """Lane-compacted batched driver must produce the same per-lane results
+    as the while_loop solve."""
+    rng = np.random.default_rng(5)
+    cfg = ALMConfig()
+    shape = alm.ProblemShape(6, 12, 8)
+    xs, bs = [], []
+    for i in range(8):
+        s0 = np.array([-3.5 + 0.2 * i, -3.0])
+        g0 = s0 + np.array([1.5, 0.3 * (i % 3)])
+        yaw = np.arctan2(g0[1] - s0[1], g0[0] - s0[0])
+        t = np.linspace(0, 1, 12)[:, None]
+        p = np.concatenate([(1 - t) * s0 + t * g0, np.full((12, 1), yaw)],
+                           axis=1)
+        xi, bi = manager.init_guess_fixed(p, ManagerConfig(), 6, 12)
+        xs.append(xi); bs.append(bi)
+    xs = jnp.asarray(np.stack(xs))
+    bs = jax.tree.map(lambda *a: jnp.asarray(np.stack(a)), *bs)
+    ovr = {"mem_size": 8, "max_iterations": 40}
+    ref = jax.jit(lambda x, b, g: jax.vmap(lambda xi, bi: alm.solve(
+        xi, bi, shape, g, cfg, lbfgs_overrides=ovr))(x, b))(xs, bs, grid)
+    com = alm.solve_compacted(xs, bs, shape, grid, cfg, lbfgs_overrides=ovr,
+                              buckets=(1, 2, 4))
+    np.testing.assert_allclose(np.asarray(com.x), np.asarray(ref.x),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(com.converged),
+                                  np.asarray(ref.converged))
+    np.testing.assert_array_equal(np.asarray(com.outer_iters),
+                                  np.asarray(ref.outer_iters))

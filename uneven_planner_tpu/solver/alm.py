@@ -416,3 +416,164 @@ def solve(x0, bound: Boundary, shape: ProblemShape,
                      outer_iters=out.it, inner_iters=out.inner_iters,
                      res_h=out.res_h, res_g=out.res_g,
                      lbfgs_status=out.lbfgs_status)
+
+
+# ---------------------------------------------------------------------------
+# Compacted batch driver: retire converged lanes between outer rounds
+# ---------------------------------------------------------------------------
+
+class SolveState(NamedTuple):
+    """Resumable per-lane ALM state (one outer round at a time)."""
+    x: jax.Array
+    duals: DualState
+    it: jax.Array
+    done: jax.Array
+    inner_iters: jax.Array
+    res_h: jax.Array
+    res_g: jax.Array
+    lbfgs_status: jax.Array
+
+
+def init_state(x0, shape: ProblemShape, cfg: ALMConfig) -> SolveState:
+    dtype = x0.dtype
+    E, I = shape.equal_num, shape.non_equal_num
+    return SolveState(
+        x=x0,
+        duals=DualState(lam=jnp.zeros((E,), dtype), mu=jnp.zeros((I,), dtype),
+                        rho=jnp.asarray(cfg.rho, dtype)),
+        it=jnp.asarray(0, jnp.int32), done=jnp.asarray(False),
+        inner_iters=jnp.asarray(0, jnp.int32),
+        res_h=jnp.asarray(jnp.inf, dtype), res_g=jnp.asarray(jnp.inf, dtype),
+        lbfgs_status=jnp.asarray(0, jnp.int32))
+
+
+def outer_round(state: SolveState, bound: Boundary, scaling: Scaling,
+                shape: ProblemShape, grid, cfg: ALMConfig,
+                lb_params: lbfgs.LBFGSParams) -> SolveState:
+    """One PHR-ALM outer round (L-BFGS inner solve + dual update +
+    convergence test); no-op on lanes already done."""
+    fun = jax.value_and_grad(
+        lambda x: inner_cost(x, bound, shape, grid, cfg, state.duals,
+                             scaling))
+    res = lbfgs.minimize(fun, state.x, lb_params)
+
+    h_raw, g_raw = raw_constraints(res.x, bound, shape, grid, cfg)
+    h = (h_raw * scaling.scale_cx[..., 0]).reshape(-1)
+    g = (g_raw * scaling.scale_cx[..., 1:7]).reshape(-1)
+    rho = state.duals.rho
+    lam = state.duals.lam + rho * h
+    mu = jnp.maximum(state.duals.mu + rho * g, 0.0)
+    rho_new = jnp.minimum((1.0 + cfg.gamma) * rho, cfg.beta)
+    res_h = jnp.max(jnp.abs(h))
+    res_g = jnp.max(jnp.maximum(g, -mu / rho_new))
+    converged = jnp.maximum(res_h, res_g) < cfg.epsilon_con
+    it = state.it + 1
+    done_new = converged | (it > cfg.max_iter)
+
+    keep = state.done
+    sel = lambda new, old: jnp.where(keep, old, new)
+    return SolveState(
+        x=sel(res.x, state.x),
+        duals=DualState(lam=sel(lam, state.duals.lam),
+                        mu=sel(mu, state.duals.mu),
+                        rho=sel(rho_new, state.duals.rho)),
+        it=sel(it, state.it), done=sel(done_new, state.done),
+        inner_iters=sel(state.inner_iters + res.iters, state.inner_iters),
+        res_h=sel(res_h, state.res_h), res_g=sel(res_g, state.res_g),
+        lbfgs_status=sel(res.status, state.lbfgs_status))
+
+
+def result_from_state(state: SolveState, bound: Boundary,
+                      shape: ProblemShape, cfg: ALMConfig) -> ALMResult:
+    c_xy, ts_xy, c_yaw, ts_yaw, _ = _coeffs(state.x, bound, shape)
+    traj = SE2Traj(c_xy=c_xy, ts_xy=ts_xy, c_yaw=c_yaw, ts_yaw=ts_yaw)
+    converged = jnp.maximum(state.res_h, state.res_g) < cfg.epsilon_con
+    return ALMResult(x=state.x, traj=traj, converged=converged,
+                     outer_iters=state.it, inner_iters=state.inner_iters,
+                     res_h=state.res_h, res_g=state.res_g,
+                     lbfgs_status=state.lbfgs_status)
+
+
+def solve_compacted(x0s, bounds, shape: ProblemShape, grid, cfg: ALMConfig,
+                    lbfgs_overrides: dict | None = None,
+                    buckets=(1, 4, 16)):
+    """Batched solve that retires converged lanes between outer rounds.
+
+    The vmapped while_loop in `solve` executes every round for every lane
+    (done lanes are merely masked), so a batch pays ~max_outer x batch.
+    Here a host loop runs one jitted outer round at a time and compacts the
+    surviving lanes into smaller buckets (sizes B/b for b in `buckets`),
+    saving the masked-lane compute.  Results are bitwise identical to
+    `solve` per lane (same round sequence, no cross-lane coupling).
+    """
+    import numpy as np
+
+    B = x0s.shape[0]
+    lb_params = lbfgs_params_from(cfg)
+    if lbfgs_overrides:
+        lb_params = dataclasses.replace(lb_params, **lbfgs_overrides)
+
+    if cfg.use_scaling:
+        scalings = jax.jit(lambda xs, bs, g: jax.vmap(
+            lambda x, b: init_scaling(x, b, shape, g, cfg))(xs, bs))(
+            x0s, bounds, grid)
+    else:
+        one = default_scale_cx(shape, cfg, x0s.dtype)
+        scalings = Scaling(
+            scale_fx=jnp.ones((B,), x0s.dtype),
+            scale_cx=jnp.broadcast_to(one, (B,) + one.shape))
+
+    round_fns = {}
+
+    def get_round_fn(n):
+        if n not in round_fns:
+            round_fns[n] = jax.jit(lambda st, bd, sc, g: jax.vmap(
+                lambda s_, b_, c_: outer_round(s_, b_, c_, shape, g, cfg,
+                                               lb_params))(st, bd, sc))
+        return round_fns[n]
+
+    states = jax.vmap(lambda x: init_state(x, shape, cfg))(x0s)
+    final_states = jax.tree.map(lambda a: np.array(a), states)
+    idx = np.arange(B)
+    cur_states, cur_bounds, cur_scal = states, bounds, scalings
+
+    sizes = sorted({max(1, B // b) for b in buckets}, reverse=True)
+    while len(idx) > 0:
+        n = len(idx)
+        # pick the smallest bucket >= n
+        size = min([s for s in sizes if s >= n], default=sizes[0])
+        if n < size:  # pad by repeating lane 0
+            pad = size - n
+            padder = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[:1], (pad,) + a.shape[1:])])
+            cur_states = jax.tree.map(padder, cur_states)
+            cur_bounds = jax.tree.map(padder, cur_bounds)
+            cur_scal = jax.tree.map(padder, cur_scal)
+        out = get_round_fn(size)(cur_states, cur_bounds, cur_scal, grid)
+        out_np_done = np.asarray(out.done[:n])
+        out_trim = jax.tree.map(lambda a: a[:n], out)
+        host = jax.tree.map(lambda a: np.asarray(a), out_trim)
+        _scatter_state(final_states, host, idx)
+        still = ~out_np_done
+        idx = idx[still]
+        if len(idx) == 0:
+            break
+        keepf = lambda a: a[:n][jnp.asarray(still)]
+        cur_states = jax.tree.map(keepf, out_trim)
+        cur_bounds = jax.tree.map(keepf, cur_bounds)
+        cur_scal = jax.tree.map(keepf, cur_scal)
+
+    states = jax.tree.map(jnp.asarray, final_states)
+    return jax.jit(jax.vmap(
+        lambda s_, b_: result_from_state(s_, b_, shape, cfg)))(
+        states, bounds)
+
+
+def _scatter_state(dst, src, idx):
+    for field in src._fields:
+        d, s = getattr(dst, field), getattr(src, field)
+        if isinstance(s, DualState):
+            for f2 in s._fields:
+                getattr(d, f2)[idx] = getattr(s, f2)
+        else:
+            d[idx] = s

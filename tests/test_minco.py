@@ -145,3 +145,57 @@ def test_nonhol_error_straight_line():
     # y stays 0 on the line
     _, vel, _, yaw, _, _ = se2_state(traj, jnp.asarray(1.234))
     assert abs(float(yaw)) < 1e-12
+
+
+def test_uniform_fast_path_matches_generate():
+    """The constant-inverse uniform-time path (minco/uniform.py) must equal
+    the general block-tridiagonal `generate` for uniform piece times, for
+    coefficients and jerk energy alike."""
+    from uneven_planner_tpu.minco import uniform
+    rng = np.random.default_rng(7)
+    for N, dim in [(2, 2), (5, 2), (10, 2), (20, 1)]:
+        Tp = 0.37
+        inner = jnp.asarray(rng.normal(size=(N - 1, dim)))
+        head = jnp.asarray(rng.normal(size=(3, dim)))
+        tail = jnp.asarray(rng.normal(size=(3, dim)))
+        ts = jnp.full((N,), Tp)
+        c_ref = minco.generate(inner, ts, head, tail)
+        cn = uniform.generate_norm(inner, jnp.asarray(Tp), head, tail, N)
+        c_new = uniform.denormalize(cn, jnp.asarray(Tp))
+        np.testing.assert_allclose(np.asarray(c_new), np.asarray(c_ref),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(
+            float(uniform.jerk_cost_norm(cn, jnp.asarray(Tp), N)),
+            float(minco.jerk_cost(c_ref, ts)), rtol=1e-9)
+
+
+def test_uniform_sample_plan_static_yaw_location():
+    """The static yaw-piece mapping must agree with locating by global time
+    (alm_traj_opt.cpp:747-764) away from exact junctions, and by C^4
+    continuity the sampled yaw/dyaw agree everywhere."""
+    from uneven_planner_tpu.minco import uniform
+    N, Nyaw, K = 10, 20, 16
+    _, _, _, yidx, BY0, BY1 = uniform.sample_plan(N, Nyaw, K)
+    rng = np.random.default_rng(3)
+    Tp = 0.21
+    T = Tp * N
+    Tpy = T / Nyaw
+    inner = jnp.asarray(rng.normal(size=(Nyaw - 1, 1)))
+    head = jnp.asarray(rng.normal(size=(3, 1)))
+    tail = jnp.asarray(rng.normal(size=(3, 1)))
+    c = minco.generate(inner, jnp.full((Nyaw,), Tpy), head, tail)
+    cn = uniform.generate_norm(inner, jnp.asarray(Tpy), head, tail, Nyaw)
+    # static-plan evaluation
+    cy = np.asarray(cn[yidx.reshape(-1), :, 0])
+    yaw_static = np.sum(BY0.reshape(-1, 6) * cy, axis=-1)
+    dyaw_static = np.sum(BY1.reshape(-1, 6) * cy, axis=-1) / Tpy
+    # dynamic evaluation at the same global times
+    u = np.arange(K + 1) / K
+    t_glob = ((np.arange(N)[:, None] + u[None, :]) * Tp).reshape(-1)
+    for s in range(0, len(t_glob), 17):
+        val, dot, _, _ = minco.eval_traj(c, jnp.full((Nyaw,), Tpy),
+                                         jnp.asarray(t_glob[s]))
+        np.testing.assert_allclose(yaw_static[s], float(val[0]),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(dyaw_static[s], float(dot[0]),
+                                   rtol=1e-7, atol=1e-8)

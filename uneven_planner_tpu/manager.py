@@ -21,7 +21,23 @@ from typing import Tuple
 import numpy as np
 
 from uneven_planner_tpu.config import ManagerConfig
-from uneven_planner_tpu.solver.alm import Boundary, ProblemShape, logC2, pack
+from uneven_planner_tpu.solver.alm import Boundary, ProblemShape
+
+
+def _logC2_np(T: float) -> float:
+    """Pure-numpy tau = expC2^{-1}(T) (alm.logC2).  Host-side init-guess code
+    must not touch jnp: on tunneled TPU runtimes every eager op loads a tiny
+    device program, and a few hundred of them degrade subsequent kernel
+    launch latency by ~300x (measured)."""
+    if T > 1.0:
+        return float(np.sqrt(max(2.0 * T - 1.0, 0.0)) - 1.0)
+    return float(1.0 - np.sqrt(max(2.0 / max(T, 1e-12) - 1.0, 0.0)))
+
+
+def _pack_np(tau: float, pxy: np.ndarray, pyaw: np.ndarray) -> np.ndarray:
+    return np.concatenate([np.atleast_1d(np.float64(tau)),
+                           np.asarray(pxy).reshape(-1),
+                           np.asarray(pyaw).reshape(-1)])
 
 
 def smooth_yaw_path(path: np.ndarray) -> np.ndarray:
@@ -95,7 +111,7 @@ def init_guess_from_path(path: np.ndarray, cfg: ManagerConfig
                          piece_yaw=len(inner_yaw) + 1,
                          int_K=16)
     bound = _boundary(path, cfg)
-    x0 = pack(np.asarray(logC2(total_time)), inner_xy, inner_yaw)
+    x0 = _pack_np(_logC2_np(total_time), inner_xy, inner_yaw)
     return np.asarray(x0), bound, shape
 
 
@@ -115,7 +131,7 @@ def init_guess_fixed(path: np.ndarray, cfg: ManagerConfig,
 
     total_time = total_len / cfg.mean_vel * cfg.init_time_times
     bound = _boundary(path, cfg)
-    x0 = pack(np.asarray(logC2(total_time)), inner_xy, inner_yaw)
+    x0 = _pack_np(_logC2_np(total_time), inner_xy, inner_yaw)
     return np.asarray(x0), bound
 
 

@@ -37,10 +37,12 @@ import jax
 import jax.numpy as jnp
 
 from uneven_planner_tpu.config import ALMConfig
-from uneven_planner_tpu.minco import minco
+from uneven_planner_tpu.minco import minco, uniform
 from uneven_planner_tpu.minco.traj import SE2Traj
 from uneven_planner_tpu.solver import lbfgs
 from uneven_planner_tpu.terrain import grid as tgrid
+
+_P = jax.lax.Precision.HIGHEST
 
 
 # ---------------------------------------------------------------------------
@@ -100,7 +102,7 @@ class DualState(NamedTuple):
 
 class Scaling(NamedTuple):
     scale_fx: jax.Array  # scalar
-    scale_cx: jax.Array  # [Nxy, K+1, 7] per-constraint scale
+    scale_cx: jax.Array  # [7, S] channel-major per-constraint scale
 
 
 def unpack(x, shape: ProblemShape):
@@ -117,23 +119,54 @@ def pack(tau, pxy, pyaw):
                             pyaw.reshape(-1)])
 
 
-def _coeffs(x, bound: Boundary, shape: ProblemShape):
+def _coeffs_norm(x, bound: Boundary, shape: ProblemShape):
+    """Normalized MINCO coefficients via the constant-inverse fast path
+    (uniform piece times — see minco/uniform.py)."""
     tau, pxy, pyaw = unpack(x, shape)
     T = expC2(tau)
-    ts_xy = jnp.full((shape.piece_xy,), T / shape.piece_xy, x.dtype)
-    ts_yaw = jnp.full((shape.piece_yaw,), T / shape.piece_yaw, x.dtype)
-    c_xy = minco.generate(pxy, ts_xy, bound.head_xy, bound.tail_xy)
-    c_yaw = minco.generate(pyaw, ts_yaw, bound.head_yaw, bound.tail_yaw)
+    Tp_xy = T / shape.piece_xy
+    Tp_yaw = T / shape.piece_yaw
+    cn_xy = uniform.generate_norm(pxy, Tp_xy, bound.head_xy, bound.tail_xy,
+                                  shape.piece_xy)
+    cn_yaw = uniform.generate_norm(pyaw, Tp_yaw, bound.head_yaw,
+                                   bound.tail_yaw, shape.piece_yaw)
+    return cn_xy, Tp_xy, cn_yaw, Tp_yaw, T
+
+
+def _coeffs_norm_cm(x, bound: Boundary, shape: ProblemShape):
+    """Channel-major normalized coefficients ([Dim, 6N] transposed layout —
+    the solver-internal convention that keeps the sample minor dim large)."""
+    tau, pxy, pyaw = unpack(x, shape)
+    T = expC2(tau)
+    Tp_xy = T / shape.piece_xy
+    Tp_yaw = T / shape.piece_yaw
+    cT_xy = uniform.generate_norm_cm(pxy, Tp_xy, bound.head_xy,
+                                     bound.tail_xy, shape.piece_xy)
+    cT_yaw = uniform.generate_norm_cm(pyaw, Tp_yaw, bound.head_yaw,
+                                      bound.tail_yaw, shape.piece_yaw)
+    return cT_xy, Tp_xy, cT_yaw, Tp_yaw, T
+
+
+def _coeffs(x, bound: Boundary, shape: ProblemShape):
+    """Physical coefficients + piece-time vectors (for trajectory output)."""
+    cn_xy, Tp_xy, cn_yaw, Tp_yaw, T = _coeffs_norm(x, bound, shape)
+    c_xy = uniform.denormalize(cn_xy, Tp_xy)
+    c_yaw = uniform.denormalize(cn_yaw, Tp_yaw)
+    ts_xy = jnp.full((shape.piece_xy,), Tp_xy, x.dtype)
+    ts_yaw = jnp.full((shape.piece_yaw,), Tp_yaw, x.dtype)
     return c_xy, ts_xy, c_yaw, ts_yaw, T
 
 
 class SampleValues(NamedTuple):
-    """Per-sample physical quantities on the [Nxy, K+1] sampling grid."""
-    pos: jax.Array       # [N, K1, 2]
-    vel: jax.Array       # [N, K1, 2]
-    acc: jax.Array       # [N, K1, 2]
-    yaw: jax.Array       # [N, K1]
-    dyaw: jax.Array      # [N, K1]
+    """Per-sample physical quantities, flat over the S = Nxy*(K+1) sampling
+    grid (sample s = i*(K+1)+j is piece i, fraction j/K).  All channel-major
+    ([2, S] / [S]) so the TPU lane padding stays ~1x instead of the 16-64x a
+    small trailing channel dim would pay under (8, 128) tiling."""
+    pos: jax.Array       # [2, S]
+    vel: jax.Array       # [2, S]
+    acc: jax.Array       # [2, S]
+    yaw: jax.Array       # [S]
+    dyaw: jax.Array      # [S]
     vx: jax.Array        # body-frame forward speed (terrain-corrected)
     ax: jax.Array        # longitudinal acceleration incl. gravity
     ay: jax.Array        # lateral acceleration incl. gravity
@@ -149,42 +182,35 @@ def _sample_kernel(x, bound: Boundary, shape: ProblemShape,
     mirrors alm_traj_opt.cpp:710-817)."""
     N, K = shape.piece_xy, shape.int_K
     K1 = K + 1
-    c_xy, ts_xy, c_yaw, ts_yaw, T = _coeffs(x, bound, shape)
-    Txy = ts_xy[0]
-    Tyaw = ts_yaw[0]
+    S = N * K1
+    cT_xy, Tp_xy, cT_yaw, Tp_yaw, T = _coeffs_norm_cm(x, bound, shape)
 
-    # xy bases: s_j = j/K * Txy identical for every piece -> [K1, 6] matmuls
-    s = (jnp.arange(K1, dtype=x.dtype) / K) * Txy
-    b0, b1, b2, _ = jax.vmap(lambda t: minco._beta(t, x.dtype))(s)  # [K1,6]
-    _P = jax.lax.Precision.HIGHEST
-    pos = jnp.einsum("km,imd->ikd", b0, c_xy, precision=_P)
-    vel = jnp.einsum("km,imd->ikd", b1, c_xy, precision=_P)
-    acc = jnp.einsum("km,imd->ikd", b2, c_xy, precision=_P)
+    # All sampling operators are compile-time constants (uniform times):
+    # one dense matmul maps coefficients to every sample's value/du/d2u2,
+    # with the reference's locate-yaw-piece-by-global-time
+    # (alm_traj_opt.cpp:747-764) folded in statically.
+    SXY, SYAW = uniform.sample_matrices(N, shape.piece_yaw, K)
+    sxy = jnp.matmul(cT_xy, jnp.asarray(SXY.T, x.dtype),
+                     precision=_P)                           # [2, 3S]
+    pos = sxy[:, :S]
+    vel = sxy[:, S:2 * S] / Tp_xy
+    acc = sxy[:, 2 * S:] / (Tp_xy * Tp_xy)
+    syaw2 = jnp.matmul(cT_yaw, jnp.asarray(SYAW.T, x.dtype),
+                       precision=_P)[0]                      # [2S]
+    yaw = syaw2[:S]
+    dyaw = syaw2[S:] / Tp_yaw
 
-    # yaw piece location by global time (alm_traj_opt.cpp:747-764)
-    t_glob = (jnp.arange(N, dtype=x.dtype)[:, None] * Txy + s[None, :])
-    yaw_idx = jnp.clip((t_glob / Tyaw).astype(jnp.int32), 0,
-                       shape.piece_yaw - 1)
-    s_yaw = t_glob - yaw_idx.astype(x.dtype) * Tyaw
-    by0, by1, by2, _ = jax.vmap(lambda t: minco._beta(t, x.dtype))(
-        s_yaw.reshape(-1))  # [N*K1, 6]
-    cy = c_yaw[yaw_idx.reshape(-1), :, 0]  # [N*K1, 6]
-    yaw = jnp.sum(by0 * cy, axis=-1).reshape(N, K1)
-    dyaw = jnp.sum(by1 * cy, axis=-1).reshape(N, K1)
-
-    # terrain 7-tuple at every sample
-    se2 = jnp.stack([pos[..., 0], pos[..., 1], tgrid.normalize_so2(yaw)],
-                    axis=-1)
-    tv = tgrid.get_terrain_variables_batch(
-        grid, se2.reshape(-1, 3)).reshape(N, K1, 7)
-    inv_cos_vphix, sin_phix = tv[..., 0], tv[..., 1]
-    inv_cos_vphiy, sin_phiy = tv[..., 2], tv[..., 3]
-    cos_xi, inv_cos_xi, sigma = tv[..., 4], tv[..., 5], tv[..., 6]
+    # terrain 7-tuple at every sample, channel-major [7, S]
+    tv = tgrid.get_terrain_variables_cm(grid, pos[0], pos[1],
+                                        tgrid.normalize_so2(yaw))
+    inv_cos_vphix, sin_phix = tv[0], tv[1]
+    inv_cos_vphiy, sin_phiy = tv[2], tv[3]
+    cos_xi, inv_cos_xi, sigma = tv[4], tv[5], tv[6]
 
     cyaw_, syaw_ = jnp.cos(yaw), jnp.sin(yaw)
-    v_norm = jnp.linalg.norm(vel, axis=-1)
-    lon_acc = acc[..., 0] * cyaw_ + acc[..., 1] * syaw_
-    lat_acc = -acc[..., 0] * syaw_ + acc[..., 1] * cyaw_
+    v_norm = jnp.sqrt(vel[0] * vel[0] + vel[1] * vel[1])
+    lon_acc = acc[0] * cyaw_ + acc[1] * syaw_
+    lat_acc = -acc[0] * syaw_ + acc[1] * cyaw_
     g = grid.gravity
 
     vx = v_norm * inv_cos_vphix
@@ -192,18 +218,31 @@ def _sample_kernel(x, bound: Boundary, shape: ProblemShape,
     ax = lon_acc * inv_cos_vphix + g * sin_phix
     ay = lat_acc * inv_cos_vphiy + g * sin_phiy
     curv_snorm = wz * wz / (vx * vx + cfg.delta_sigl)
-    nonh = vel[..., 0] * syaw_ - vel[..., 1] * cyaw_
+    nonh = vel[0] * syaw_ - vel[1] * cyaw_
 
     return SampleValues(pos=pos, vel=vel, acc=acc, yaw=yaw, dyaw=dyaw,
                         vx=vx, ax=ax, ay=ay, curv_snorm=curv_snorm,
                         cos_xi=cos_xi, sigma=sigma, nonh=nonh), \
-        (c_xy, ts_xy, c_yaw, ts_yaw, T, Txy)
+        (cT_xy, Tp_xy, cT_yaw, Tp_yaw, T)
+
+
+import functools as _functools
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=None)
+def _trapz_weights(N: int, K: int):
+    """Flat [S] trapezoid weights: 0.5 at each piece's first/last sample
+    (alm_traj_opt.cpp:819-827)."""
+    w = _np.ones((K + 1,), _np.float64)
+    w[0] = w[-1] = 0.5
+    return _np.tile(w, N)
 
 
 def raw_constraints(x, bound, shape, grid, cfg):
-    """Unscaled constraint values h [N,K1] and g [N,K1,6] in the reference
-    ordering {vel, acc_lon, acc_lat, curv, att, sigma}
-    (alm_traj_opt.cpp:829-946)."""
+    """Unscaled constraint values h [S] and g [6, S] (channel-major) over
+    the flat sample grid, in the reference ordering {vel, acc_lon, acc_lat,
+    curv, att, sigma} (alm_traj_opt.cpp:829-946)."""
     sv, _ = _sample_kernel(x, bound, shape, grid, cfg)
     h = sv.nonh
     g = jnp.stack([
@@ -213,16 +252,18 @@ def raw_constraints(x, bound, shape, grid, cfg):
         sv.curv_snorm - cfg.max_kap ** 2,
         cfg.min_cxi - sv.cos_xi,
         sv.sigma - cfg.max_sig,
-    ], axis=-1)
+    ])
     return h, g
 
 
 def default_scale_cx(shape: ProblemShape, cfg: ALMConfig, dtype):
     """Constraint scaling when use_scaling is off: 1 except the fixed
-    cur_scale / sig_scale factors (alm_traj_opt.cpp:891-893,929-932)."""
-    sc = jnp.ones((shape.piece_xy, shape.int_K + 1, 7), dtype)
-    sc = sc.at[..., 4].set(cfg.cur_scale)
-    sc = sc.at[..., 6].set(cfg.sig_scale)
+    cur_scale / sig_scale factors (alm_traj_opt.cpp:891-893,929-932).
+    Channel-major [7, S]: row 0 the non-holonomic equality, rows 1-6 the
+    inequalities in reference order."""
+    sc = jnp.ones((7, shape.equal_num), dtype)
+    sc = sc.at[4].set(cfg.cur_scale)
+    sc = sc.at[6].set(cfg.sig_scale)
     return sc
 
 
@@ -230,12 +271,13 @@ def smooth_cost(x, bound, shape, grid, cfg, scale_fx):
     """scale-fx-weighted smooth part: jerk energy + sigma^2 running cost +
     rho_T * total time (the 'fx' of initScaling, alm_traj_opt.cpp:365-370,
     507-519,633-636; trick factor applied by the caller)."""
-    sv, (c_xy, ts_xy, c_yaw, ts_yaw, T, Txy) = _sample_kernel(
+    sv, (cT_xy, Tp_xy, cT_yaw, Tp_yaw, T) = _sample_kernel(
         x, bound, shape, grid, cfg)
-    jerk = minco.jerk_cost(c_xy, ts_xy) + minco.jerk_cost(c_yaw, ts_yaw)
-    step = Txy / shape.int_K
-    w = jnp.ones((shape.int_K + 1,), x.dtype).at[0].set(0.5).at[-1].set(0.5)
-    user = cfg.rho_ter * step * jnp.sum(w[None, :] * sv.sigma ** 2)
+    jerk = uniform.jerk_cost_norm_cm(cT_xy, Tp_xy, shape.piece_xy) \
+        + uniform.jerk_cost_norm_cm(cT_yaw, Tp_yaw, shape.piece_yaw)
+    step = Tp_xy / shape.int_K
+    w = jnp.asarray(_trapz_weights(shape.piece_xy, shape.int_K), x.dtype)
+    user = cfg.rho_ter * step * jnp.sum(w * sv.sigma ** 2)
     time_cost = cfg.rho_T * T
     return jerk, (user + time_cost) * scale_fx
 
@@ -243,22 +285,23 @@ def smooth_cost(x, bound, shape, grid, cfg, scale_fx):
 def inner_cost(x, bound, shape, grid, cfg, duals: DualState,
                scaling: Scaling):
     """The L-BFGS objective (innerCallback, alm_traj_opt.cpp:280-347)."""
-    sv, (c_xy, ts_xy, c_yaw, ts_yaw, T, Txy) = _sample_kernel(
+    sv, (cT_xy, Tp_xy, cT_yaw, Tp_yaw, T) = _sample_kernel(
         x, bound, shape, grid, cfg)
     trick = cfg.scale_trick_jerk if cfg.use_scaling else 1.0
-    jerk = (minco.jerk_cost(c_xy, ts_xy) + minco.jerk_cost(c_yaw, ts_yaw)) \
+    jerk = (uniform.jerk_cost_norm_cm(cT_xy, Tp_xy, shape.piece_xy)
+            + uniform.jerk_cost_norm_cm(cT_yaw, Tp_yaw, shape.piece_yaw)) \
         * scaling.scale_fx * trick
 
-    step = Txy / shape.int_K
-    w = jnp.ones((shape.int_K + 1,), x.dtype).at[0].set(0.5).at[-1].set(0.5)
+    step = Tp_xy / shape.int_K
+    w = jnp.asarray(_trapz_weights(shape.piece_xy, shape.int_K), x.dtype)
     user = cfg.rho_ter * step * scaling.scale_fx * \
-        jnp.sum(w[None, :] * sv.sigma ** 2)
+        jnp.sum(w * sv.sigma ** 2)
 
     rho = duals.rho
-    E = shape.equal_num
+    sc = scaling.scale_cx  # [7, S] channel-major
 
     # equality (non-holonomic): PHR term h(lam + 0.5 rho h)
-    h = sv.nonh.reshape(-1) * scaling.scale_cx[..., 0].reshape(-1)
+    h = sv.nonh * sc[0]
     cost_h = jnp.sum(h * (duals.lam + 0.5 * rho * h))
 
     # inequalities with active-set branch (alm_traj_opt.cpp:840-946)
@@ -269,8 +312,8 @@ def inner_cost(x, bound, shape, grid, cfg, duals: DualState,
         sv.curv_snorm - cfg.max_kap ** 2,
         cfg.min_cxi - sv.cos_xi,
         sv.sigma - cfg.max_sig,
-    ], axis=-1)
-    g = (g_raw * scaling.scale_cx[..., 1:7]).reshape(-1)
+    ])
+    g = (g_raw * sc[1:7]).reshape(-1)
     mu = duals.mu
     active = rho * g + mu > 0
     cost_g = jnp.sum(jnp.where(active,
@@ -298,14 +341,13 @@ def init_scaling(x0, bound, shape, grid, cfg) -> Scaling:
 
     def cons(x):
         h, g = raw_constraints(x, bound, shape, grid, cfg)
-        return jnp.concatenate([h[..., None], g], axis=-1).reshape(-1)
+        return jnp.concatenate([h[None, :], g]).reshape(-1)  # [7S] ch-major
 
     # jacfwd: n_vars (~40) JVP columns instead of n_constraints (~1200) VJP
     # rows — an order of magnitude cheaper for this Jacobian shape
-    J = jax.jacfwd(cons)(x0)  # [N*K1*7, n]
+    J = jax.jacfwd(cons)(x0)  # [7S, n]
     norms = jnp.max(jnp.abs(J), axis=-1)
-    scale_cx = (1.0 / jnp.maximum(1.0, norms)).reshape(
-        shape.piece_xy, shape.int_K + 1, 7)
+    scale_cx = (1.0 / jnp.maximum(1.0, norms)).reshape(7, shape.equal_num)
     return Scaling(scale_fx=scale_fx, scale_cx=scale_cx)
 
 
@@ -357,8 +399,8 @@ def solve(x0, bound: Boundary, shape: ProblemShape,
 
     def scaled_constraints(x):
         h_raw, g_raw = raw_constraints(x, bound, shape, grid, cfg)
-        h = (h_raw * scaling.scale_cx[..., 0]).reshape(-1)
-        g = (g_raw * scaling.scale_cx[..., 1:7]).reshape(-1)
+        h = h_raw * scaling.scale_cx[0]
+        g = (g_raw * scaling.scale_cx[1:7]).reshape(-1)
         return h, g
 
     class Carry(NamedTuple):
@@ -458,8 +500,8 @@ def outer_round(state: SolveState, bound: Boundary, scaling: Scaling,
     res = lbfgs.minimize(fun, state.x, lb_params)
 
     h_raw, g_raw = raw_constraints(res.x, bound, shape, grid, cfg)
-    h = (h_raw * scaling.scale_cx[..., 0]).reshape(-1)
-    g = (g_raw * scaling.scale_cx[..., 1:7]).reshape(-1)
+    h = h_raw * scaling.scale_cx[0]
+    g = (g_raw * scaling.scale_cx[1:7]).reshape(-1)
     rho = state.duals.rho
     lam = state.duals.lam + rho * h
     mu = jnp.maximum(state.duals.mu + rho * g, 0.0)

@@ -6,12 +6,20 @@ BASELINE.json publishes no reference numbers (the reference repo has none);
 the north-star target is >=10,000 MINCO solves/s per chip on the hill scene,
 so vs_baseline reports value / 10000 (fraction of the target).
 
-Config mirrors BASELINE config 3 (batched back-end, one chip) at a reduced
-batch: B scenarios with fixed piece counts (10 xy / 20 yaw pieces, int_K=16),
-full hill-scale terrain grid (200x200x64), reference solver settings except
-the L-BFGS memory (8) and a per-outer-round inner cap of 30 (the ALM outer
-loop absorbs the cap; measured to keep 100% convergence while bounding the
-batch's lockstep tail).
+Measurement rules (hard-won on the tunneled TPU platform):
+- every timed repetition solves a FRESH batch of scenarios (the platform can
+  serve repeated identical dispatches from cache, inflating rates ~1000x);
+- the timed section ends by materializing the converged flags to host
+  (block_until_ready alone under-reports on this platform);
+- host-side scenario generation must stay pure numpy (eager jnp scalar ops
+  degrade subsequent device launches ~300x).
+
+Solver: `alm.solve_flat_compacted` — ALM outer loop + L-BFGS + Lewis-Overton
+line search flattened into one while_loop (one cost+grad eval per iteration)
+with converged lanes retired every `chunk_steps` evaluations.  Reference
+solver settings except the L-BFGS memory (8) and a per-outer-round inner cap
+of 30 (the ALM outer loop absorbs the cap; measured to keep ~100%
+convergence while bounding the batch's lockstep tail).
 """
 
 import json
@@ -24,35 +32,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def main():
+def make_batch(B, cfg, shape, rng):
+    from uneven_planner_tpu import manager
     import jax
     import jax.numpy as jnp
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-
-    from uneven_planner_tpu.config import scene_config
-    from uneven_planner_tpu import manager
-    from uneven_planner_tpu.solver import alm
-    from uneven_planner_tpu.terrain import grid as tgrid
-    from uneven_planner_tpu.terrain.synthetic import make_synthetic_grid
-
-    tgrid.LOOKUP_IMPL = os.environ.get("BENCH_LOOKUP", "flat")
-    B = int(os.environ.get("BENCH_BATCH", "256"))
-    cfg = scene_config("hill")
-    grid = jax.device_put(make_synthetic_grid(cfg.map, dtype=np.float32))
-
-    rng = np.random.default_rng(0)
-    shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=16)
     x0s, bounds = [], []
-    for i in range(B):
+    for _ in range(B):
         ang = rng.uniform(-np.pi, np.pi)
         start = rng.uniform(-3.5, -1.5, size=2)
-        goal = start + 2.5 * np.array([np.cos(ang), np.sin(ang)])
-        goal = np.clip(goal, -4.0, 4.0)
+        goal = np.clip(start + 2.5 * np.array([np.cos(ang), np.sin(ang)]),
+                       -4.0, 4.0)
         yaw = np.arctan2(goal[1] - start[1], goal[0] - start[0])
         t = np.linspace(0, 1, 16)[:, None]
         path = np.concatenate([(1 - t) * start + t * goal,
@@ -65,43 +55,55 @@ def main():
     x0s = jnp.asarray(np.stack(x0s), jnp.float32)
     bounds = jax.tree.map(lambda *a: jnp.asarray(np.stack(a), jnp.float32),
                           *bounds)
+    return x0s, bounds
 
+
+def main():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+    from uneven_planner_tpu.config import scene_config
+    from uneven_planner_tpu.solver import alm
+    from uneven_planner_tpu.terrain import grid as tgrid
+    from uneven_planner_tpu.terrain.synthetic import make_synthetic_grid
+
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    chunk_steps = int(os.environ.get("BENCH_CHUNK_STEPS", "96"))
+    n_rep = int(os.environ.get("BENCH_REPS", "2"))
+    cfg = scene_config("hill")
+    grid = jax.device_put(
+        tgrid.with_pair_table(make_synthetic_grid(cfg.map,
+                                                  dtype=np.float32)))
+
+    rng = np.random.default_rng(0)
+    shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=16)
     overrides = {"mem_size": 8, "max_iterations": 30}
-    # grid passed as an argument (not a closure constant) so the 10 MB field
-    # lives in HBM instead of being baked into the HLO
-    run = jax.jit(lambda xs, bs, g: jax.vmap(
-        lambda x, b: alm.solve(x, b, shape, g, cfg.alm,
-                               lbfgs_overrides=overrides))(xs, bs))
 
-    # Sub-batched async dispatch: the vmapped while_loops run in lockstep, so
-    # one huge batch pays the max iteration count over all lanes.  Smaller
-    # chunks dispatched back-to-back (XLA queues them) keep the device busy
-    # while bounding each chunk's lockstep waste to its own worst lane.
-    chunk = min(int(os.environ.get("BENCH_CHUNK", "128")), B)
-    assert B % chunk == 0
-    xc = x0s.reshape(B // chunk, chunk, -1)
-    bc = jax.tree.map(
-        lambda a: a.reshape((B // chunk, chunk) + a.shape[1:]), bounds)
+    def run(batch):
+        res = alm.solve_flat_compacted(batch[0], batch[1], shape, grid,
+                                       cfg.alm, lbfgs_overrides=overrides,
+                                       chunk_steps=chunk_steps,
+                                       buckets=(1, 4, 16))
+        return np.asarray(res.converged)
 
-    def run_all():
-        outs = [run(xc[i], jax.tree.map(lambda a: a[i], bc), grid)
-                for i in range(B // chunk)]
-        jax.block_until_ready(outs)
-        return outs
+    batches = [make_batch(B, cfg, shape, rng) for _ in range(n_rep + 1)]
+    conv = run(batches[0])  # warmup: compiles every bucket size
 
-    outs = run_all()
-
-    n_rep = int(os.environ.get("BENCH_REPS", "3"))
-    t0 = time.time()
-    for _ in range(n_rep):
-        outs = run_all()
-    dt = (time.time() - t0) / n_rep
-    res = jax.tree.map(lambda *a: jnp.concatenate(a), *outs)
+    times = []
+    for i in range(1, n_rep + 1):
+        t0 = time.time()
+        conv = run(batches[i])
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
 
     solves_per_sec = B / dt
-    conv = float(np.mean(np.asarray(res.converged)))
     sys.stderr.write(f"batch={B} time={dt*1e3:.1f}ms "
-                     f"converged={conv*100:.1f}%\n")
+                     f"converged={conv.mean()*100:.1f}%\n")
     print(json.dumps({
         "metric": "minco_alm_solves_per_sec_per_chip_hill",
         "value": round(solves_per_sec, 2),

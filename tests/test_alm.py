@@ -198,3 +198,75 @@ def test_solve_compacted_matches_solve(grid):
                                   np.asarray(ref.converged))
     np.testing.assert_array_equal(np.asarray(com.outer_iters),
                                   np.asarray(ref.outer_iters))
+
+
+def test_solve_flat_matches_nested(grid):
+    """The flattened single-loop solver must reproduce the nested
+    ALM/L-BFGS/line-search solver per lane (same evaluation sequence)."""
+    from uneven_planner_tpu.terrain import grid as tgrid
+    gp = tgrid.with_pair_table(grid)
+    cfg = ALMConfig()
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        ang = rng.uniform(-np.pi, np.pi)
+        start = rng.uniform(-3.5, -1.5, size=2)
+        goal = np.clip(start + 2.0 * np.array([np.cos(ang), np.sin(ang)]),
+                       -4, 4)
+        yaw = np.arctan2(goal[1] - start[1], goal[0] - start[0])
+        t = np.linspace(0, 1, 16)[:, None]
+        path = np.concatenate([(1 - t) * start + t * goal,
+                               np.full((16, 1), yaw)], axis=1)
+        x0, bound = manager.init_guess_fixed(path, ManagerConfig(),
+                                             piece_xy=6, piece_yaw=12)
+        shape = alm.ProblemShape(piece_xy=6, piece_yaw=12, int_K=16)
+        x0 = jnp.asarray(x0)
+        bound = jax.tree.map(jnp.asarray, bound)
+        r1 = jax.jit(lambda x, b, g: alm.solve(x, b, shape, g, cfg,
+                                               lbfgs_overrides=LB_OVR))(
+            x0, bound, gp)
+        r2 = jax.jit(lambda x, b, g: alm.solve_flat(x, b, shape, g, cfg,
+                                                    lbfgs_overrides=LB_OVR))(
+            x0, bound, gp)
+        assert bool(r1.converged) == bool(r2.converged)
+        # identical evaluation sequence -> identical (or near-identical: the
+        # dual update reuses the eval's own constraint pass) results
+        np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x),
+                                   atol=5e-3)
+
+
+def test_solve_flat_compacted_bitwise(grid):
+    """The compacting driver must be bitwise identical to solve_flat per
+    lane (compaction only reorders lanes between jit calls)."""
+    from uneven_planner_tpu.terrain import grid as tgrid
+    gp = tgrid.with_pair_table(grid)
+    cfg = ALMConfig()
+    rng = np.random.default_rng(9)
+    xs, bs = [], []
+    for i in range(8):
+        ang = rng.uniform(-np.pi, np.pi)
+        start = rng.uniform(-3.5, -1.5, size=2)
+        goal = np.clip(start + 2.0 * np.array([np.cos(ang), np.sin(ang)]),
+                       -4, 4)
+        yaw = np.arctan2(goal[1] - start[1], goal[0] - start[0])
+        t = np.linspace(0, 1, 16)[:, None]
+        path = np.concatenate([(1 - t) * start + t * goal,
+                               np.full((16, 1), yaw)], axis=1)
+        xi, bi = manager.init_guess_fixed(path, ManagerConfig(),
+                                          piece_xy=6, piece_yaw=12)
+        xs.append(xi)
+        bs.append(bi)
+    shape = alm.ProblemShape(piece_xy=6, piece_yaw=12, int_K=16)
+    xs = jnp.asarray(np.stack(xs), jnp.float32)
+    bs = jax.tree.map(lambda *a: jnp.asarray(np.stack(a), jnp.float32), *bs)
+    gp32 = jax.tree.map(lambda a: a.astype(jnp.float32)
+                        if a.dtype == jnp.float64 else a, gp)
+    r1 = jax.jit(lambda x, b, g: jax.vmap(
+        lambda xx, bb: alm.solve_flat(xx, bb, shape, g, cfg,
+                                      lbfgs_overrides=LB_OVR))(x, b))(
+        xs, bs, gp32)
+    r2 = alm.solve_flat_compacted(xs, bs, shape, gp32, cfg,
+                                  lbfgs_overrides=LB_OVR,
+                                  chunk_steps=40, buckets=(1, 2))
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+    np.testing.assert_array_equal(np.asarray(r1.inner_iters),
+                                  np.asarray(r2.inner_iters))

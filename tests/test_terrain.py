@@ -132,3 +132,25 @@ def test_batched_lookup_matches_scalar(grid):
     far = jnp.asarray([[100.0, 0.0, 0.0]])
     np.testing.assert_array_equal(
         np.asarray(tgrid.get_terrain_batch(grid, far)), np.zeros((1, 4)))
+
+
+def test_channel_major_lookup_matches_batch(grid):
+    """get_terrain_variables_cm (transposed yaw-pair table, channel-major)
+    must match the row-major batched lookup bitwise."""
+    from uneven_planner_tpu.terrain import grid as tgrid
+    gp = tgrid.with_pair_table(grid)
+    rng = np.random.default_rng(3)
+    M = 2000
+    px = jnp.asarray(rng.uniform(-6, 6, M))
+    py = jnp.asarray(rng.uniform(-6, 6, M))
+    yw = jnp.asarray(rng.uniform(-np.pi, np.pi, M))
+    tv_cm = tgrid.get_terrain_variables_cm(gp, px, py, yw)
+    poses = jnp.stack([px, py, yw], axis=1)
+    old = tgrid.LOOKUP_IMPL
+    try:
+        tgrid.LOOKUP_IMPL = "flat"
+        tv_ref = tgrid.get_terrain_variables_batch(grid, poses).T
+    finally:
+        tgrid.LOOKUP_IMPL = old
+    np.testing.assert_allclose(np.asarray(tv_cm), np.asarray(tv_ref),
+                               rtol=2e-6, atol=2e-6)

@@ -63,7 +63,7 @@ def plan(grid, scfg: SceneConfig, start, goal,
     x0, bound = manager.init_guess_fixed_jax(
         kres.path, kres.path_mask, scfg.manager, shape.piece_xy,
         shape.piece_yaw)
-    ares = alm.solve(x0, bound, shape, grid, scfg.alm,
+    ares = alm.solve_flat(x0, bound, shape, grid, scfg.alm,
                      lbfgs_overrides=lbfgs_overrides
                      or {"mem_size": 8, "max_iterations": 250})
     return kres, ares

@@ -186,6 +186,7 @@ def init_guess_fixed_jax(path, mask, cfg: ManagerConfig,
 
     total_time = total_len / cfg.mean_vel * cfg.init_time_times
     from uneven_planner_tpu.solver.alm import logC2 as _logC2
-    x0 = pack(_logC2(total_time), inner_xy, inner_yaw)
+    from uneven_planner_tpu.solver.alm import pack as _pack
+    x0 = _pack(_logC2(total_time), inner_xy, inner_yaw)
     return x0, Boundary(head_xy=head_xy, tail_xy=tail_xy,
                         head_yaw=head_yaw, tail_yaw=tail_yaw)

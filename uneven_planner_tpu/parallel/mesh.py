@@ -42,7 +42,7 @@ def plan_batch(mesh: Mesh, shape: alm.ProblemShape, grid, cfg,
     batch_sharding = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
 
-    solve_one = lambda x, b: alm.solve(x, b, shape, grid, cfg,
+    solve_one = lambda x, b: alm.solve_flat(x, b, shape, grid, cfg,
                                        lbfgs_overrides=lbfgs_overrides)
 
     @partial(jax.jit,
@@ -62,7 +62,7 @@ def plan_batch_shard_map(mesh: Mesh, shape: alm.ProblemShape, grid, cfg,
     mesh-wide psum reductions (converged count, total inner iterations)."""
     from jax.experimental.shard_map import shard_map
 
-    solve_one = lambda x, b: alm.solve(x, b, shape, grid, cfg,
+    solve_one = lambda x, b: alm.solve_flat(x, b, shape, grid, cfg,
                                        lbfgs_overrides=lbfgs_overrides)
 
     def local(x0s, bounds):

@@ -49,7 +49,7 @@ def plan_track_scenario(grid: tgrid.TerrainGrid, scfg: SceneConfig,
     x0, bound = manager.init_guess_fixed_jax(
         kres.path, kres.path_mask, scfg.manager,
         shape.piece_xy, shape.piece_yaw)
-    ares = alm.solve(x0, bound, shape, grid, scfg.alm,
+    ares = alm.solve_flat(x0, bound, shape, grid, scfg.alm,
                      lbfgs_overrides=lbfgs_overrides)
 
     # wire-format round trip: the tracker reconstructs the polynomial from

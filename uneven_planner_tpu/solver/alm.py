@@ -45,6 +45,10 @@ from uneven_planner_tpu.terrain import grid as tgrid
 _P = jax.lax.Precision.HIGHEST
 
 
+def _dot(a, b):
+    return jnp.dot(a, b, precision=_P)
+
+
 # ---------------------------------------------------------------------------
 # tau <-> T maps (alm_traj_opt.h:232-261)
 # ---------------------------------------------------------------------------
@@ -282,9 +286,23 @@ def smooth_cost(x, bound, shape, grid, cfg, scale_fx):
     return jerk, (user + time_cost) * scale_fx
 
 
+def inner_cost_aux(x, bound, shape, grid, cfg, duals: DualState,
+                   scaling: Scaling):
+    """`inner_cost` returning (cost, (h_scaled [E], g_scaled [I])) — the
+    scaled constraint values fall out of the same forward pass, so the ALM
+    dual update costs no extra kernel evaluation (cf. the reference's
+    separate post-solve constraint pass, alm_traj_opt.cpp:234-271)."""
+    return _inner_cost_impl(x, bound, shape, grid, cfg, duals, scaling)
+
+
 def inner_cost(x, bound, shape, grid, cfg, duals: DualState,
                scaling: Scaling):
     """The L-BFGS objective (innerCallback, alm_traj_opt.cpp:280-347)."""
+    return _inner_cost_impl(x, bound, shape, grid, cfg, duals, scaling)[0]
+
+
+def _inner_cost_impl(x, bound, shape, grid, cfg, duals: DualState,
+                     scaling: Scaling):
     sv, (cT_xy, Tp_xy, cT_yaw, Tp_yaw, T) = _sample_kernel(
         x, bound, shape, grid, cfg)
     trick = cfg.scale_trick_jerk if cfg.use_scaling else 1.0
@@ -321,7 +339,7 @@ def inner_cost(x, bound, shape, grid, cfg, duals: DualState,
                                -0.5 * mu * mu / rho))
 
     time_cost = cfg.rho_T * T * scaling.scale_fx
-    return jerk + user + cost_h + cost_g + time_cost
+    return jerk + user + cost_h + cost_g + time_cost, (h, g)
 
 
 # ---------------------------------------------------------------------------
@@ -458,6 +476,431 @@ def solve(x0, bound: Boundary, shape: ProblemShape,
                      outer_iters=out.it, inner_iters=out.inner_iters,
                      res_h=out.res_h, res_g=out.res_g,
                      lbfgs_status=out.lbfgs_status)
+
+
+# ---------------------------------------------------------------------------
+# Flattened single-loop solver (the TPU throughput path)
+# ---------------------------------------------------------------------------
+
+class _FlatState(NamedTuple):
+    # current accepted iterate (+ its scaled constraints, cached for duals)
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    h: jax.Array          # [E] scaled equality at x
+    gc: jax.Array         # [I] scaled inequality at x
+    # L-BFGS memory
+    S: jax.Array
+    Y: jax.Array
+    YS: jax.Array
+    end: jax.Array
+    bound: jax.Array
+    k: jax.Array
+    pf: jax.Array
+    # line search (Lewis-Overton bracket)
+    d: jax.Array
+    stp: jax.Array
+    ls_lo: jax.Array
+    ls_hi: jax.Array
+    brackt: jax.Array
+    touched: jax.Array
+    ls_count: jax.Array
+    dgtest: jax.Array
+    dstest: jax.Array
+    # ALM outer
+    duals: DualState
+    o_it: jax.Array
+    res_h: jax.Array
+    res_g: jax.Array
+    lb_status: jax.Array
+    # control
+    reeval: jax.Array     # next eval (re)starts L-BFGS under current duals
+    done: jax.Array
+    evals: jax.Array
+    inner_iters: jax.Array
+
+
+def solve_flat(x0, bound: Boundary, shape: ProblemShape,
+               grid: tgrid.TerrainGrid, cfg: ALMConfig,
+               lbfgs_overrides: dict | None = None,
+               warm_duals: DualState | None = None) -> ALMResult:
+    """`solve` with ALM outer loop, L-BFGS iteration, and Lewis-Overton line
+    search flattened into ONE `lax.while_loop` whose body performs exactly
+    one cost+gradient evaluation.
+
+    Per lane this follows the same evaluation sequence as the nested
+    `solve` (same line-search bracketing, cautious memory updates, PHR dual
+    updates).  The point is batching: under `vmap` the nested loops run in
+    lockstep per nesting level, so a batch pays
+    max_outer x max_inner x max_linesearch iterations — the flat loop pays
+    only max over lanes of TOTAL evaluations (~5-8x fewer on the hill
+    benchmark).  The dual update consumes the constraint values that the
+    accepted evaluation already produced (inner_cost_aux), so outer rounds
+    cost no extra kernel pass."""
+    scaling = _make_scaling(x0, bound, shape, grid, cfg)
+    p = lbfgs_params_from(cfg)
+    if lbfgs_overrides:
+        p = dataclasses.replace(p, **lbfgs_overrides)
+    init = flat_init(x0, shape, cfg, p, warm_duals)
+
+    def cond(s: _FlatState):
+        return ~s.done
+
+    def body(s: _FlatState):
+        return flat_step(s, bound, scaling, shape, grid, cfg, p)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return flat_result(out, bound, shape, cfg)
+
+
+def _make_scaling(x0, bound, shape, grid, cfg) -> Scaling:
+    if cfg.use_scaling:
+        return init_scaling(x0, bound, shape, grid, cfg)
+    return Scaling(scale_fx=jnp.asarray(1.0, x0.dtype),
+                   scale_cx=default_scale_cx(shape, cfg, x0.dtype))
+
+
+def flat_init(x0, shape: ProblemShape, cfg: ALMConfig,
+              p: lbfgs.LBFGSParams,
+              warm_duals: DualState | None = None) -> _FlatState:
+    dtype = x0.dtype
+    E, I = shape.equal_num, shape.non_equal_num
+    n = x0.shape[0]
+    m = p.mem_size
+    npast = max(p.past, 1)
+    duals0 = warm_duals if warm_duals is not None else DualState(
+        lam=jnp.zeros((E,), dtype), mu=jnp.zeros((I,), dtype),
+        rho=jnp.asarray(cfg.rho, dtype))
+    return _FlatState(
+        x=x0, f=jnp.asarray(jnp.inf, dtype), g=jnp.zeros((n,), dtype),
+        h=jnp.zeros((E,), dtype), gc=jnp.zeros((I,), dtype),
+        S=jnp.zeros((m, n), dtype), Y=jnp.zeros((m, n), dtype),
+        YS=jnp.zeros((m,), dtype),
+        end=jnp.asarray(0, jnp.int32), bound=jnp.asarray(0, jnp.int32),
+        k=jnp.asarray(1, jnp.int32),
+        pf=jnp.full((npast,), jnp.inf, dtype),
+        d=jnp.zeros((n,), dtype), stp=jnp.zeros((), dtype),
+        ls_lo=jnp.zeros((), dtype), ls_hi=jnp.asarray(p.max_step, dtype),
+        brackt=jnp.asarray(False), touched=jnp.asarray(False),
+        ls_count=jnp.asarray(0, jnp.int32),
+        dgtest=jnp.zeros((), dtype), dstest=jnp.zeros((), dtype),
+        duals=duals0,
+        o_it=jnp.asarray(0, jnp.int32),
+        res_h=jnp.asarray(jnp.inf, dtype), res_g=jnp.asarray(jnp.inf, dtype),
+        lb_status=jnp.asarray(0, jnp.int32),
+        reeval=jnp.asarray(True), done=jnp.asarray(False),
+        evals=jnp.asarray(0, jnp.int32),
+        inner_iters=jnp.asarray(0, jnp.int32))
+
+
+def flat_step(s: _FlatState, bound: Boundary, scaling: Scaling,
+              shape: ProblemShape, grid, cfg: ALMConfig,
+              p: lbfgs.LBFGSParams) -> _FlatState:
+    """One flat-solver step: exactly one cost+grad evaluation plus masked
+    line-search / L-BFGS / ALM bookkeeping."""
+    dtype = s.x.dtype
+    m = p.mem_size
+    npast = max(p.past, 1)
+
+    x_t = s.x + s.stp * s.d
+    (f_t, (h_t, g_t)), grad_t = jax.value_and_grad(
+        inner_cost_aux, has_aux=True)(x_t, bound, shape, grid, cfg,
+                                      s.duals, scaling)
+    if True:  # keep the original body indentation below
+        rv = s.reeval
+
+        # ---- line-search decision (lbfgs.hpp:276-389), masked by ~reeval
+        bad = jnp.isinf(f_t) | jnp.isnan(f_t)
+        early = (p.past > 0) & (jnp.abs(s.f - f_t) / (jnp.abs(s.f) + 1.0)
+                                < p.delta / npast)
+        armijo_fail = f_t > s.f + s.stp * s.dgtest
+        dg = _dot(grad_t, s.d)
+        wolfe_fail = dg < s.dstest
+        accepted = ~rv & ~bad & (early | (~armijo_fail & ~wolfe_fail))
+
+        ls_hi_n = jnp.where(armijo_fail, s.stp, s.ls_hi)
+        brackt_n = s.brackt | armijo_fail
+        ls_lo_n = jnp.where(~armijo_fail & wolfe_fail, s.stp, s.ls_lo)
+        width_small = brackt_n & ((ls_hi_n - ls_lo_n)
+                                  < p.machine_prec * ls_hi_n)
+        count = s.ls_count + 1
+        max_ls = count >= p.max_linesearch
+        stp_new = jnp.where(brackt_n, 0.5 * (ls_lo_n + ls_hi_n), s.stp * 2.0)
+        below_min = stp_new < p.min_step
+        above_max = stp_new > p.max_step
+        stp_cont = jnp.where(above_max & ~s.touched, p.max_step, stp_new)
+        touched_n = s.touched | above_max
+
+        ls_err = jnp.where(bad, lbfgs.ERR_INVALIDFUNCVAL, 0)
+        ls_err = jnp.where((ls_err == 0) & max_ls,
+                           lbfgs.ERR_MAXLINESEARCH, ls_err)
+        ls_err = jnp.where((ls_err == 0) & width_small,
+                           lbfgs.ERR_WIDTHTOOSMALL, ls_err)
+        ls_err = jnp.where((ls_err == 0) & below_min,
+                           lbfgs.ERR_MINSTEP, ls_err)
+        ls_err = jnp.where((ls_err == 0) & above_max & s.touched,
+                           lbfgs.ERR_MAXSTEP, ls_err)
+        ls_fail = ~rv & ~accepted & (ls_err < 0)
+        step_done = accepted | ls_fail          # one L-BFGS iteration ends
+
+        # ---- iterate update (accept / revert / fresh-start)
+        take_new = accepted | rv
+        x_n = jnp.where(take_new, x_t, s.x)
+        f_n = jnp.where(take_new, f_t, s.f)
+        g_n = jnp.where(take_new, grad_t, s.g)
+        h_n = jnp.where(take_new, h_t, s.h)
+        gc_n = jnp.where(take_new, g_t, s.gc)
+
+        # ---- L-BFGS iteration bookkeeping (lbfgs.hpp:585-677)
+        gnorm = jnp.max(jnp.abs(g_n))
+        xnorm = jnp.max(jnp.abs(x_n))
+        conv = gnorm / jnp.maximum(1.0, xnorm) < p.g_epsilon
+        rate = jnp.abs(s.pf[jnp.mod(s.k, npast)] - f_n) \
+            / jnp.maximum(1.0, jnp.abs(f_n))
+        stop = (p.past > 0) & (s.k >= p.past) & (rate < p.delta) & ~rv
+        maxit = (p.max_iterations > 0) & (s.k >= p.max_iterations) & ~rv
+
+        status = jnp.where(ls_fail, ls_err, lbfgs.RUNNING)
+        status = jnp.where((status == 0) & conv, lbfgs.CONVERGENCE, status)
+        status = jnp.where((status == 0) & stop, lbfgs.STOP, status)
+        status = jnp.where((status == 0) & maxit, lbfgs.MAXITER, status)
+        # fresh start: only immediate-convergence terminates (lbfgs.hpp:497)
+        status = jnp.where(rv, jnp.where(conv, lbfgs.CONVERGENCE,
+                                         lbfgs.RUNNING), status)
+        lb_done = (step_done | rv) & (status != lbfgs.RUNNING)
+
+        pf_n = jnp.where(rv, jnp.full((npast,), jnp.inf, dtype).at[0]
+                         .set(f_t),
+                         jnp.where(step_done,
+                                   s.pf.at[jnp.mod(s.k, npast)].set(f_n),
+                                   s.pf))
+        # cautious memory update (only on a real accepted step)
+        s_vec = x_t - s.x
+        y_vec = grad_t - s.g
+        ys_new = _dot(y_vec, s_vec)
+        cau = _dot(s_vec, s_vec) * jnp.linalg.norm(s.g) * p.cautious_factor
+        acc_mem = accepted & (ys_new > cau)
+        S_n = jnp.where(rv, jnp.zeros_like(s.S),
+                        jnp.where(acc_mem, s.S.at[s.end].set(s_vec), s.S))
+        Y_n = jnp.where(rv, jnp.zeros_like(s.Y),
+                        jnp.where(acc_mem, s.Y.at[s.end].set(y_vec), s.Y))
+        YS_n = jnp.where(rv, jnp.zeros_like(s.YS),
+                         jnp.where(acc_mem, s.YS.at[s.end].set(ys_new),
+                                   s.YS))
+        end_n = jnp.where(rv, 0, jnp.where(acc_mem,
+                                           jnp.mod(s.end + 1, m), s.end))
+        bound_n = jnp.where(rv, 0, jnp.where(acc_mem,
+                                             jnp.minimum(s.bound + 1, m),
+                                             s.bound))
+        k_n = jnp.where(rv, 1, jnp.where(step_done, s.k + 1, s.k))
+        inner_n = s.inner_iters + jnp.where(step_done, 1, 0)
+
+        # ---- new search direction when an iteration (or fresh start) ends
+        newest = jnp.mod(end_n - 1, m)
+        use_mem = bound_n > 0
+        ys0 = jnp.where(use_mem, YS_n[newest], 1.0)
+        yy0 = jnp.where(use_mem, _dot(Y_n[newest], Y_n[newest]), 1.0)
+        d_mem = lbfgs._two_loop(g_n, S_n, Y_n, YS_n, end_n, bound_n,
+                                ys0, yy0, m)
+        d_new = jnp.where(use_mem, d_mem, -g_n)
+        dginit = _dot(g_n, d_new)
+        # non-descent direction is an immediate L-BFGS error
+        bad_dir = (step_done | rv) & ~lb_done & (dginit > 0.0)
+        status = jnp.where(bad_dir, lbfgs.ERR_INCREASEGRADIENT, status)
+        lb_done = lb_done | bad_dir
+
+        # ---- ALM outer round completion (dual update, alm_traj_opt.h:132-151)
+        rho = s.duals.rho
+        lam_u = s.duals.lam + rho * h_n
+        mu_u = jnp.maximum(s.duals.mu + rho * gc_n, 0.0)
+        rho_u = jnp.minimum((1.0 + cfg.gamma) * rho, cfg.beta)
+        res_h_u = jnp.max(jnp.abs(h_n))
+        res_g_u = jnp.max(jnp.maximum(gc_n, -mu_u / rho_u))
+        conv_outer = jnp.maximum(res_h_u, res_g_u) < cfg.epsilon_con
+        o_it_u = s.o_it + 1
+        done_u = conv_outer | (o_it_u > cfg.max_iter)
+
+        sel = lambda new, old: jnp.where(lb_done, new, old)
+        duals_n = DualState(lam=sel(lam_u, s.duals.lam),
+                            mu=sel(mu_u, s.duals.mu),
+                            rho=sel(rho_u, s.duals.rho))
+        o_it_n = sel(o_it_u, s.o_it)
+        done_n = lb_done & done_u
+        reeval_n = lb_done & ~done_u
+
+        # ---- next line-search state
+        fresh = (step_done | rv) & ~lb_done
+        stp_fresh = jnp.where(rv, 1.0 / jnp.maximum(
+            jnp.linalg.norm(d_new), p.machine_prec), jnp.ones((), dtype))
+        d_n = jnp.where(fresh, d_new, s.d)
+        stp_n = jnp.where(reeval_n, 0.0,
+                          jnp.where(fresh, stp_fresh, stp_cont))
+        dg_n = jnp.where(fresh, dginit, 0.0)
+        dgtest_n = jnp.where(fresh, p.f_dec_coeff * dg_n, s.dgtest)
+        dstest_n = jnp.where(fresh, p.s_curv_coeff * dg_n, s.dstest)
+        ls_lo_f = jnp.where(fresh, 0.0, ls_lo_n)
+        ls_hi_f = jnp.where(fresh, p.max_step, ls_hi_n)
+        brackt_f = jnp.where(fresh, False, brackt_n)
+        touched_f = jnp.where(fresh, False, touched_n)
+        count_f = jnp.where(fresh | rv, 0, count)
+        d_n = jnp.where(reeval_n, jnp.zeros_like(d_n), d_n)
+
+        return _FlatState(
+            x=x_n, f=f_n, g=g_n, h=h_n, gc=gc_n,
+            S=S_n, Y=Y_n, YS=YS_n, end=end_n, bound=bound_n, k=k_n,
+            pf=pf_n, d=d_n, stp=stp_n,
+            ls_lo=ls_lo_f, ls_hi=ls_hi_f, brackt=brackt_f,
+            touched=touched_f, ls_count=count_f,
+            dgtest=dgtest_n, dstest=dstest_n,
+            duals=duals_n, o_it=o_it_n,
+            res_h=sel(res_h_u, s.res_h), res_g=sel(res_g_u, s.res_g),
+            lb_status=jnp.where(step_done | rv, status, s.lb_status)
+            .astype(jnp.int32),
+            reeval=reeval_n, done=done_n,
+            evals=s.evals + 1, inner_iters=inner_n)
+
+
+def flat_run(state: _FlatState, bound: Boundary, scaling: Scaling,
+             shape: ProblemShape, grid, cfg: ALMConfig,
+             p: lbfgs.LBFGSParams, max_steps: int) -> _FlatState:
+    """Advance the flat solver by at most `max_steps` evaluations (or until
+    done) — the jitted unit of the compacted batch driver."""
+    def cond(c):
+        s, i = c
+        return (~s.done) & (i < max_steps)
+
+    def body(c):
+        s, i = c
+        return flat_step(s, bound, scaling, shape, grid, cfg, p), i + 1
+
+    out, _ = jax.lax.while_loop(cond, body,
+                                (state, jnp.asarray(0, jnp.int32)))
+    return out
+
+
+def flat_result(out: _FlatState, bound: Boundary, shape: ProblemShape,
+                cfg: ALMConfig) -> ALMResult:
+    c_xy, ts_xy, c_yaw, ts_yaw, _ = _coeffs(out.x, bound, shape)
+    traj = SE2Traj(c_xy=c_xy, ts_xy=ts_xy, c_yaw=c_yaw, ts_yaw=ts_yaw)
+    converged = jnp.maximum(out.res_h, out.res_g) < cfg.epsilon_con
+    return ALMResult(x=out.x, traj=traj, converged=converged,
+                     outer_iters=out.o_it, inner_iters=out.inner_iters,
+                     res_h=out.res_h, res_g=out.res_g,
+                     lbfgs_status=out.lb_status)
+
+
+class _SmallResult(NamedTuple):
+    """Per-lane result core, cheap enough to pull through the device
+    tunnel (~180 B/lane vs ~20 KB/lane for the full _FlatState)."""
+    x: jax.Array
+    o_it: jax.Array
+    inner_iters: jax.Array
+    res_h: jax.Array
+    res_g: jax.Array
+    lb_status: jax.Array
+
+
+def solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
+                         cfg: ALMConfig, lbfgs_overrides: dict | None = None,
+                         chunk_steps: int = 96, buckets=(1, 4, 16)):
+    """Batched flat solve that compacts surviving lanes every `chunk_steps`
+    evaluations.
+
+    The flat loop already reduced lockstep waste to max-lane TOTAL evals;
+    this driver attacks the residual tail (max ~4x mean on the hill
+    benchmark) by retiring finished lanes between bounded-step rounds, so
+    late rounds run at a fraction of the batch width.  Per-lane results are
+    identical to `solve_flat` (no cross-lane coupling).
+
+    All compaction happens ON DEVICE (jitted gathers at bucketed sizes);
+    only the [nlive] done mask and the finished lanes' ~180-byte result
+    cores cross the host boundary — pulling the full solver state per round
+    costs minutes over a tunneled device (measured).
+    """
+    import numpy as np
+
+    B = x0s.shape[0]
+    p = lbfgs_params_from(cfg)
+    if lbfgs_overrides:
+        p = dataclasses.replace(p, **lbfgs_overrides)
+
+    scalings = jax.jit(lambda xs, bs, g: jax.vmap(
+        lambda x, b: _make_scaling(x, b, shape, g, cfg))(xs, bs))(
+        x0s, bounds, grid)
+    states = jax.jit(jax.vmap(lambda x: flat_init(x, shape, cfg, p)))(x0s)
+
+    sizes = sorted({max(1, B // b) for b in buckets} | {B}, reverse=True)
+    run_fns, take_fns, small_fns = {}, {}, {}
+
+    def get_run(n):
+        if n not in run_fns:
+            run_fns[n] = jax.jit(lambda st, bd, sc, g: jax.vmap(
+                lambda s_, b_, c_: flat_run(s_, b_, c_, shape, g, cfg, p,
+                                            chunk_steps))(st, bd, sc))
+        return run_fns[n]
+
+    def get_take(key):
+        if key not in take_fns:
+            take_fns[key] = jax.jit(
+                lambda tree, ii: jax.tree.map(lambda a: a[ii], tree))
+        return take_fns[key]
+
+    def get_small(n):
+        if n not in small_fns:
+            small_fns[n] = jax.jit(lambda st: _SmallResult(
+                x=st.x, o_it=st.o_it, inner_iters=st.inner_iters,
+                res_h=st.res_h, res_g=st.res_g, lb_status=st.lb_status))
+        return small_fns[n]
+
+    # host-side accumulators for the small result
+    acc = None
+    idx = np.arange(B)
+    cur = (states, bounds, scalings)
+    cur_size = B
+
+    while True:
+        nlive = len(idx)
+        out = get_run(cur_size)(cur[0], cur[1], cur[2], grid)
+        done = np.asarray(out.done)[:nlive]
+        small = get_small(cur_size)(out)
+        fin = np.nonzero(done)[0]
+        host_small = None
+        if fin.size or done.all():
+            host_small = jax.tree.map(lambda a: np.asarray(a), small)
+            if acc is None:
+                acc = jax.tree.map(
+                    lambda a: np.zeros((B,) + a.shape[1:], a.dtype),
+                    host_small)
+            for f, hs in zip(acc, host_small):
+                f[idx[fin]] = hs[fin]
+        still = np.nonzero(~done)[0]
+        if still.size == 0:
+            break
+        to_size = min([s for s in sizes if s >= still.size],
+                      default=sizes[0])
+        pad = np.zeros(to_size - still.size, np.int32)
+        ii = jnp.asarray(np.concatenate([still.astype(np.int32), pad]))
+        cur = get_take((cur_size, to_size))(
+            ((out, cur[1], cur[2])), ii)
+        cur = (cur[0], cur[1], cur[2])
+        idx = idx[still]
+        cur_size = to_size
+
+    small_all = _SmallResult(*[jnp.asarray(a) for a in acc])
+    xs = small_all.x
+
+    def finalize(x, b):
+        c_xy, ts_xy, c_yaw, ts_yaw, _ = _coeffs(x, b, shape)
+        return SE2Traj(c_xy=c_xy, ts_xy=ts_xy, c_yaw=c_yaw, ts_yaw=ts_yaw)
+
+    traj = jax.jit(lambda xs_, bs: jax.vmap(finalize)(xs_, bs))(xs, bounds)
+    converged = jnp.maximum(small_all.res_h, small_all.res_g) \
+        < cfg.epsilon_con
+    return ALMResult(x=xs, traj=traj, converged=converged,
+                     outer_iters=small_all.o_it,
+                     inner_iters=small_all.inner_iters,
+                     res_h=small_all.res_h, res_g=small_all.res_g,
+                     lbfgs_status=small_all.lb_status)
 
 
 # ---------------------------------------------------------------------------

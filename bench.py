@@ -73,8 +73,9 @@ def main():
     from uneven_planner_tpu.terrain.synthetic import make_synthetic_grid
 
     B = int(os.environ.get("BENCH_BATCH", "4096"))
-    chunk_steps = int(os.environ.get("BENCH_CHUNK_STEPS", "96"))
+    chunk_steps = int(os.environ.get("BENCH_CHUNK_STEPS", "128"))
     n_rep = int(os.environ.get("BENCH_REPS", "2"))
+    max_dispatch = int(os.environ.get("BENCH_DISPATCH", "4096"))
     cfg = scene_config("hill")
     grid = jax.device_put(
         tgrid.with_pair_table(make_synthetic_grid(cfg.map,
@@ -82,13 +83,16 @@ def main():
 
     rng = np.random.default_rng(0)
     shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=16)
-    overrides = {"mem_size": 8, "max_iterations": 30}
+    # mem_size 16 measured ~20% fewer inner iterations than 8 at equal
+    # convergence; per-outer-round inner cap 30
+    overrides = {"mem_size": 16, "max_iterations": 30}
 
     def run(batch):
         res = alm.solve_flat_compacted(batch[0], batch[1], shape, grid,
                                        cfg.alm, lbfgs_overrides=overrides,
                                        chunk_steps=chunk_steps,
-                                       buckets=(1, 4, 16))
+                                       buckets=(1, 4, 16),
+                                       max_dispatch=max_dispatch)
         return np.asarray(res.converged)
 
     batches = [make_batch(B, cfg, shape, rng) for _ in range(n_rep + 1)]

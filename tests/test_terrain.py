@@ -154,3 +154,30 @@ def test_channel_major_lookup_matches_batch(grid):
         tgrid.LOOKUP_IMPL = old
     np.testing.assert_allclose(np.asarray(tv_cm), np.asarray(tv_ref),
                                rtol=2e-6, atol=2e-6)
+
+
+def test_mesh_to_cloud_roundtrip(tmp_path):
+    """Mesh sampler (to_pcl.py equivalent): sample a unit-cube OBJ, check
+    density/coverage, and round-trip through the PCD writer/reader."""
+    from uneven_planner_tpu.terrain import mesh as tmesh
+    from uneven_planner_tpu.terrain.io import read_pcd
+    obj = tmp_path / "cube.obj"
+    v = [(x, y, z) for x in (0, 1) for y in (0, 1) for z in (0, 1)]
+    quads = [(1, 2, 4, 3), (5, 7, 8, 6), (1, 5, 6, 2),
+             (3, 4, 8, 7), (1, 3, 7, 5), (2, 6, 8, 4)]
+    with open(obj, "w") as f:
+        for p in v:
+            f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        for q in quads:
+            f.write("f " + " ".join(map(str, q)) + "\n")
+    pts = tmesh.mesh_to_cloud(str(obj), n_points=20000, leaf=0.05)
+    assert len(pts) > 1000
+    assert pts.min() >= -1e-6 and pts.max() <= 1 + 1e-6
+    # each face plane should be sampled
+    for axis in range(3):
+        assert (pts[:, axis] < 0.02).any() and (pts[:, axis] > 0.98).any()
+    pcd = tmp_path / "cube.pcd"
+    tmesh.save_pcd(str(pcd), pts)
+    back = read_pcd(str(pcd))
+    assert back.shape == pts.shape
+    np.testing.assert_allclose(back, pts, atol=1e-5)

@@ -802,7 +802,66 @@ class _SmallResult(NamedTuple):
 
 def solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
                          cfg: ALMConfig, lbfgs_overrides: dict | None = None,
-                         chunk_steps: int = 96, buckets=(1, 4, 16)):
+                         chunk_steps: int = 96, buckets=(1, 4, 16),
+                         max_dispatch: int = 4096,
+                         retry_width: int | None = 1024):
+    """See _solve_flat_compacted; batches wider than `max_dispatch` are
+    processed in sequential slices, and unconverged lanes get one narrow
+    retry pass.
+
+    Both knobs exist because this tunneled TPU runtime corrupts
+    long-running while_loop programs at large widths: lanes that solve
+    cleanly at B<=2048 come back with NaN line-search failures at B=8192
+    (~40% of the batch) and ~0.3% at B=4096, while a single evaluation at
+    B=8192 is bitwise correct (PLATFORM_NOTES.md §7).  Width 4096 is ~2x
+    faster per lane than 2048 (per-iteration launch overhead amortizes), so
+    the driver runs wide and retries the rare casualties narrow; genuinely
+    unconvergeable lanes re-fail deterministically and keep their honest
+    converged=False flag."""
+    import numpy as np
+
+    B = x0s.shape[0]
+    if B <= max_dispatch:
+        res = _solve_flat_compacted(x0s, bounds, shape, grid, cfg,
+                                    lbfgs_overrides, chunk_steps, buckets)
+    else:
+        parts = []
+        for lo in range(0, B, max_dispatch):
+            sl = slice(lo, min(lo + max_dispatch, B))
+            parts.append(_solve_flat_compacted(
+                x0s[sl], jax.tree.map(lambda a: a[sl], bounds), shape, grid,
+                cfg, lbfgs_overrides, chunk_steps, buckets))
+        res = jax.tree.map(lambda *a: jnp.concatenate(a), *parts)
+
+    if retry_width is None or max_dispatch <= retry_width:
+        return res
+    bad = np.nonzero(~np.asarray(res.converged))[0]
+    if bad.size == 0 or bad.size > B // 4:
+        return res
+    # pad the retry batch to a power-of-two width so the retry programs have
+    # stable shapes across calls (the number of casualties varies per batch;
+    # unpadded it would force a fresh compile every time)
+    width = 64
+    while width < bad.size:
+        width *= 2
+    width = min(width, retry_width, B)
+    pad_idx = np.concatenate([bad, np.full(max(0, width - bad.size),
+                                           bad[0])])[:width]
+    ip = jnp.asarray(pad_idx.astype(np.int32))
+    redo = solve_flat_compacted(
+        x0s[ip], jax.tree.map(lambda a: a[ip], bounds), shape, grid, cfg,
+        lbfgs_overrides, chunk_steps, buckets,
+        max_dispatch=retry_width, retry_width=None)
+    nb = min(bad.size, width)
+    ii = jnp.asarray(bad[:nb].astype(np.int32))
+    redo_trim = jax.tree.map(lambda a: a[:nb], redo)
+    return jax.tree.map(lambda full, part: full.at[ii].set(part), res,
+                        redo_trim)
+
+
+def _solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
+                          cfg: ALMConfig, lbfgs_overrides: dict | None = None,
+                          chunk_steps: int = 96, buckets=(1, 4, 16)):
     """Batched flat solve that compacts surviving lanes every `chunk_steps`
     evaluations.
 

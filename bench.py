@@ -77,6 +77,10 @@ def main():
     n_rep = int(os.environ.get("BENCH_REPS", "2"))
     max_dispatch = int(os.environ.get("BENCH_DISPATCH", "4096"))
     cfg = scene_config("hill")
+    # NOTE: the bf16-packed 2-item lookup (with_packed_table) halves gather
+    # items but its ~0.2% field quantization noise breaks the Lewis-Overton
+    # line search (measured 4x MORE evals/solve) — net loss; the bench
+    # stays on the exact f32 yaw-pair table.
     grid = jax.device_put(
         tgrid.with_pair_table(make_synthetic_grid(cfg.map,
                                                   dtype=np.float32)))

@@ -55,6 +55,93 @@ def test_plan_open_terrain(grid):
     assert float(res.cost) > 0
 
 
+def test_occupied_start_or_goal_aborts(grid):
+    """Reference gate: occupied start (SE(2)) or goal (2D) aborts before
+    searching (kino_astar.cpp:86-95)."""
+    occ_xy = np.asarray(grid.occ_xy).copy()
+    gx = int((0.5 - grid.origin[0]) / grid.xy_resolution)
+    gy = int((-3.0 - grid.origin[1]) / grid.xy_resolution)
+    occ_xy[gx, gy] = True
+    blocked = grid.replace(occ_xy=jnp.asarray(occ_xy))
+    start = jnp.asarray([-3.0, -3.0, 0.0])
+    goal = jnp.asarray([0.5, -3.0, 0.0])
+    res = jax.jit(lambda s, g: kino_init.plan(blocked, FE, s, g))(start,
+                                                                  goal)
+    assert not bool(res.success)
+    assert int(res.rounds) == 0  # aborted before any expansion
+
+    occ = np.asarray(grid.occ).copy()
+    sx = int((-3.0 - grid.origin[0]) / grid.xy_resolution)
+    sy = int((-3.0 - grid.origin[1]) / grid.xy_resolution)
+    occ[sx, sy, :] = True
+    blocked2 = grid.replace(occ=jnp.asarray(occ))
+    res2 = jax.jit(lambda s, g: kino_init.plan(blocked2, FE, s, g))(start,
+                                                                    goal)
+    assert not bool(res2.success)
+    assert int(res2.rounds) == 0
+
+
+def test_batched_search_success_rate_vs_oracle(grid):
+    """SURVEY §7 hard-part 5 quality gate: over a scenario population the
+    batched search must succeed wherever the exact reference-semantics A*
+    oracle does (within 2 percentage points), with comparable path cost."""
+    from uneven_planner_tpu.utils import native
+    if not native.ensure_built():
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(42)
+    N = 16
+    scenarios = []
+    occ = np.asarray(grid.occ_xy)
+
+    def free(p):
+        ix = int((p[0] - grid.origin[0]) / grid.xy_resolution)
+        iy = int((p[1] - grid.origin[1]) / grid.xy_resolution)
+        return not occ[ix, iy]
+
+    while len(scenarios) < N:
+        s = rng.uniform(-3.5, 3.5, size=2)
+        ang = rng.uniform(-np.pi, np.pi)
+        g = s + rng.uniform(1.5, 3.0) * np.array([np.cos(ang), np.sin(ang)])
+        if np.abs(g).max() > 4.0:
+            continue
+        yaw_s = rng.uniform(-np.pi, np.pi)
+        yaw_g = np.arctan2(g[1] - s[1], g[0] - s[0])
+        if free(s) and free(g):
+            scenarios.append((np.array([s[0], s[1], yaw_s]),
+                              np.array([g[0], g[1], yaw_g])))
+
+    fe = dataclasses.replace(FE, frontier_size=256, max_rounds=120)
+    starts = jnp.asarray(np.stack([s for s, _ in scenarios]), jnp.float64)
+    goals = jnp.asarray(np.stack([g for _, g in scenarios]), jnp.float64)
+    res = jax.jit(jax.vmap(lambda s, g: kino_init.plan(grid, fe, s, g)))(
+        starts, goals)
+    got_success = np.asarray(res.success)
+    got_cost = np.asarray(res.cost)
+
+    oracle_success = np.zeros(N, bool)
+    oracle_cost = np.full(N, np.inf)
+    for i, (s, g) in enumerate(scenarios):
+        path = native.kino_astar_plan(grid, fe, s, g,
+                                      max_expansions=200_000)
+        if path is not None:
+            oracle_success[i] = True
+            oracle_cost[i] = np.linalg.norm(
+                np.diff(path[:, :2], axis=0), axis=1).sum()
+
+    n_or = int(oracle_success.sum())
+    n_both = int((oracle_success & got_success).sum())
+    assert n_or > 0, "oracle found nothing; scenario generator broken"
+    # batched success rate >= oracle - 2% (VERDICT gate)
+    assert n_both >= n_or - max(1, int(0.02 * N)), \
+        (n_both, n_or, got_success.tolist(), oracle_success.tolist())
+    # comparable cost where both succeed: batched g-cost includes sigma
+    # weights, oracle_cost here is pure arc length, so compare loosely
+    both = oracle_success & got_success
+    ratio = got_cost[both] / np.maximum(oracle_cost[both], 1e-9)
+    assert np.median(ratio) < 2.0, ratio
+
+
 def test_plan_routes_around_obstacle(grid):
     """Insert a synthetic occupancy wall; path must detour around it."""
     occ_xy = np.asarray(grid.occ_xy).copy()

@@ -54,6 +54,51 @@ def test_qp_box_constrained_kkt_residuals():
         assert float(comp) < 1e-4, f"complementarity {float(comp)}"
 
 
+def test_qp_ruiz_adaptive_polish_improve_badly_scaled():
+    """An ill-conditioned QP (mixed 1e-4..1e4 scales): with Ruiz
+    equilibration + adaptive rho + polish the solver must reach KKT-grade
+    accuracy in far fewer iterations than the plain ADMM loop."""
+    rng = np.random.default_rng(7)
+    n, m = 14, 20
+    scales = 10.0 ** rng.uniform(-3, 3, size=n)
+    L = rng.normal(size=(n, n)) * scales[None, :]
+    P = jnp.asarray(L.T @ L + 1e-3 * np.diag(scales ** 2) + 1e-6 * np.eye(n))
+    q = jnp.asarray(rng.normal(size=n) * scales)
+    A = jnp.asarray(rng.normal(size=(m, n)) * scales[None, :])
+    l = jnp.asarray(-np.abs(rng.normal(size=m)) - 0.1)
+    u = jnp.asarray(np.abs(rng.normal(size=m)) + 0.1)
+
+    full = jax.jit(lambda: admm_qp.solve_qp(
+        P, q, A, l, u, eps_abs=1e-8, eps_rel=1e-8, max_iter=20000))()
+    plain = jax.jit(lambda: admm_qp.solve_qp(
+        P, q, A, l, u, eps_abs=1e-8, eps_rel=1e-8, max_iter=20000,
+        ruiz=False, adaptive_rho=False, polish=False))()
+
+    stat, prim, comp = admm_qp.kkt_residuals(P, q, A, l, u, full.x, full.y)
+    assert float(stat) < 1e-6 and float(prim) < 1e-7 \
+        and float(comp) < 1e-6, (float(stat), float(prim), float(comp))
+    assert int(full.iters) < int(plain.iters), \
+        (int(full.iters), int(plain.iters))
+
+
+def test_qp_polish_reaches_machine_precision_active_set():
+    """Polish solves the detected active set exactly: residuals drop to
+    ~machine precision on a well-scaled box QP."""
+    rng = np.random.default_rng(11)
+    n, m = 10, 14
+    L = rng.normal(size=(n, n))
+    P = jnp.asarray(L @ L.T + n * np.eye(n))
+    q = jnp.asarray(3 * rng.normal(size=n))
+    A = jnp.asarray(rng.normal(size=(m, n)))
+    l = jnp.asarray(-np.abs(rng.normal(size=m)) - 0.05)
+    u = jnp.asarray(np.abs(rng.normal(size=m)) + 0.05)
+    sol = jax.jit(lambda: admm_qp.solve_qp(
+        P, q, A, l, u, eps_abs=1e-6, eps_rel=1e-6, max_iter=8000))()
+    stat, prim, comp = admm_qp.kkt_residuals(P, q, A, l, u, sol.x, sol.y)
+    assert float(stat) < 1e-9 and float(prim) < 1e-9, \
+        (float(stat), float(prim), float(comp))
+
+
 # --------------------------- MPC pieces -------------------------------------
 
 CFG = MPCConfig()

@@ -156,6 +156,33 @@ def test_channel_major_lookup_matches_batch(grid):
                                rtol=2e-6, atol=2e-6)
 
 
+def test_packed_lookup_matches_exact_within_bf16(grid):
+    """The bf16-packed 2-item lookup must match the exact channel-major path
+    within bf16 quantization (~0.4% relative), including the clamped map
+    edges and the wrapped yaw seam."""
+    g32 = tgrid.TerrainGrid(
+        data=jnp.asarray(np.asarray(grid.data, np.float32)),
+        occ=grid.occ, occ_xy=grid.occ_xy,
+        xy_resolution=grid.xy_resolution,
+        yaw_resolution=grid.yaw_resolution, origin=grid.origin)
+    g = tgrid.with_packed_table(tgrid.with_pair_table(g32))
+    rng = np.random.default_rng(3)
+    M = 512
+    px = jnp.asarray(rng.uniform(-4.95, 4.95, M).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-4.95, 4.95, M).astype(np.float32))
+    yaw = jnp.asarray(rng.uniform(-np.pi, np.pi, M).astype(np.float32))
+    # force edge coverage: low/high strips in both x and y, yaw seam
+    px = px.at[:8].set(jnp.asarray(g.origin[0] + 0.01, jnp.float32))
+    py = py.at[8:16].set(jnp.asarray(g.origin[1] + 0.01, jnp.float32))
+    px = px.at[16:24].set(jnp.asarray(-g.origin[0] - 0.01, jnp.float32))
+    yaw = yaw.at[24:32].set(jnp.asarray(np.pi - 1e-3, jnp.float32))
+    ex = tgrid.get_terrain_variables_cm(g, px, py, yaw, exact=True)
+    pk = tgrid.get_terrain_variables_cm(g, px, py, yaw, exact=False)
+    rel = np.abs(np.asarray(ex) - np.asarray(pk)) / \
+        np.maximum(np.abs(np.asarray(ex)), 1.0)
+    assert rel.max() < 5e-3, rel.max()
+
+
 def test_mesh_to_cloud_roundtrip(tmp_path):
     """Mesh sampler (to_pcl.py equivalent): sample a unit-cube OBJ, check
     density/coverage, and round-trip through the PCD writer/reader."""

@@ -260,10 +260,14 @@ def plan(grid: tgrid.TerrainGrid, cfg: FrontendConfig,
         return new_pool._replace(best_g=best_after, done=done)
 
     start_n = start.at[2].set(tgrid.normalize_so2(start[2]))
+    # occupied-start/goal early-out (reference aborts before searching,
+    # kino_astar.cpp:86-95: SE(2) occupancy at start, 2D occupancy at goal)
+    feasible = ~tgrid.is_occupancy(grid, start_n) \
+        & ~tgrid.is_occupancy_xy(grid, goal[:2])
     pool_states0 = jnp.broadcast_to(start_n, (Pn, 3)).copy()
     pool_g0 = jnp.full((Pn,), jnp.inf, dtype).at[0].set(0.0)
     pool_f0 = jnp.full((Pn,), jnp.inf, dtype).at[0].set(
-        cfg.lambda_heu * heu(start_n))
+        jnp.where(feasible, cfg.lambda_heu * heu(start_n), jnp.inf))
     best_g0 = jnp.full((n_cells,), jnp.inf, dtype).at[
         cell_of(start_n)].set(0.0)
     init = S(pool_states=pool_states0, pool_g=pool_g0, pool_f=pool_f0,
@@ -276,7 +280,7 @@ def plan(grid: tgrid.TerrainGrid, cfg: FrontendConfig,
              shot_ok=jnp.asarray(False),
              shot_cost=jnp.asarray(jnp.inf, dtype),
              shot_node=jnp.asarray(0, jnp.int32),
-             done=jnp.asarray(False))
+             done=~feasible)
 
     out = jax.lax.while_loop(lambda s: ~s.done, body, init)
 

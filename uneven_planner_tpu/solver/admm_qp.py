@@ -35,10 +35,100 @@ class QPSolution(NamedTuple):
     converged: jax.Array
 
 
+def ruiz_equilibrate(P, q, A, l, u, iters: int = 10,
+                     min_scale: float = 1e-4, max_scale: float = 1e4):
+    """OSQP's modified Ruiz equilibration (OSQP §5.1): iteratively scale
+    rows/cols of the KKT data by inverse sqrt inf-norms, plus a cost
+    normalization c.  Returns (Pb, qb, Ab, lb, ub, D, E, c) with
+      Pb = c D P D, qb = c D q, Ab = E A D, lb/ub = E l/u
+    and the unscaling x = D xb, y = c^{-1} E yb.
+    """
+    n = q.shape[0]
+    m = l.shape[0]
+    dtype = q.dtype
+    D = jnp.ones((n,), dtype)
+    E = jnp.ones((m,), dtype)
+    c = jnp.asarray(1.0, dtype)
+    Pb, qb, Ab = P, q, A
+
+    def body(_, carry):
+        Pb, qb, Ab, D, E, c = carry
+        # column norms of the [P; A] block for x-variables
+        col_p = jnp.max(jnp.abs(Pb), axis=0)
+        col_a = jnp.max(jnp.abs(Ab), axis=0)
+        dx = 1.0 / jnp.sqrt(jnp.clip(jnp.maximum(col_p, col_a),
+                                     min_scale, max_scale))
+        # row norms of A for constraint rows
+        row_a = jnp.max(jnp.abs(Ab), axis=1)
+        de = 1.0 / jnp.sqrt(jnp.clip(row_a, min_scale, max_scale))
+        Pb = Pb * dx[:, None] * dx[None, :]
+        qb = qb * dx
+        Ab = Ab * de[:, None] * dx[None, :]
+        D = D * dx
+        E = E * de
+        # cost scaling: mean column norm of P vs q norm (OSQP eq. 28)
+        gamma = 1.0 / jnp.clip(
+            jnp.maximum(jnp.mean(jnp.max(jnp.abs(Pb), axis=0)),
+                        jnp.max(jnp.abs(qb))), min_scale, max_scale)
+        Pb = Pb * gamma
+        qb = qb * gamma
+        c = c * gamma
+        return Pb, qb, Ab, D, E, c
+
+    Pb, qb, Ab, D, E, c = jax.lax.fori_loop(
+        0, iters, body, (Pb, qb, Ab, D, E, c))
+    return Pb, qb, Ab, E * l, E * u, D, E, c
+
+
+def _polish(P, q, A, l, u, x, y, delta: float = 1e-7):
+    """OSQP-style solution polish (OSQP §5.2): detect the active set from
+    the dual signs, solve the equality-KKT system restricted to it (masked
+    dense KKT with -delta regularization on inactive rows), and keep the
+    polished point only if it improves the KKT residuals."""
+    m = A.shape[0]
+    n = q.shape[0]
+    dtype = q.dtype
+    act_l = y < -1e-12
+    act_u = y > 1e-12
+    act = act_l | act_u
+    b = jnp.where(act_l, l, u)
+    mask = act.astype(dtype)
+    # [P  (MA)'] [x]   [-q ]
+    # [MA  -(1-m) I] [nu] = [m b]   (inactive rows force nu_i = 0)
+    MA = A * mask[:, None]
+    K = jnp.block([
+        [P + delta * jnp.eye(n, dtype=dtype), MA.T],
+        [MA, -jnp.diag((1.0 - mask) + delta)],
+    ])
+    # unperturbed KKT operator for the refinement residual
+    K0 = jnp.block([
+        [P, MA.T],
+        [MA, -jnp.diag(1.0 - mask)],
+    ])
+    rhs = jnp.concatenate([-q, mask * b])
+    sol = jnp.linalg.solve(K, rhs)
+    # iterative refinement against the unregularized system (OSQP's
+    # polish_refine_iter) washes out the delta perturbation
+    for _ in range(3):
+        sol = sol + jnp.linalg.solve(K, rhs - _mm(K0, sol))
+    x_p, nu = sol[:n], sol[n:]
+    y_p = jnp.where(act, nu, 0.0)
+
+    def score(x_, y_):
+        s, p, comp = kkt_residuals(P, q, A, l, u, x_, y_)
+        return jnp.maximum(jnp.maximum(s, p), comp)
+
+    better = score(x_p, y_p) < score(x, y)
+    better = better & jnp.all(jnp.isfinite(x_p)) & jnp.all(jnp.isfinite(y_p))
+    return (jnp.where(better, x_p, x), jnp.where(better, y_p, y))
+
+
 def solve_qp(P, q, A, l, u, *, rho: float = 0.1, sigma: float = 1e-6,
              alpha: float = 1.6, eps_abs: float = 1e-6,
              eps_rel: float = 1e-6, max_iter: int = 2000,
-             x0=None, y0=None) -> QPSolution:
+             x0=None, y0=None, ruiz: bool = True,
+             adaptive_rho: bool = True, adaptive_rho_interval: int = 25,
+             polish: bool = True) -> QPSolution:
     """ADMM iteration (OSQP §3, the algorithm OSQP implements):
 
       x~ = M^-1 (sigma x - q + A'(rho z - y))
@@ -47,27 +137,51 @@ def solve_qp(P, q, A, l, u, *, rho: float = 0.1, sigma: float = 1e-6,
       z+ = clip(alpha z~ + (1-alpha) z + y/rho, l, u)
       y+ = y + rho (alpha z~ + (1-alpha) z - z+)
 
-    Constraint rows with l == u (equalities) are handled by the same
-    projection.  Warm starting via x0/y0 (the reference enables OSQP warm
-    start, mpc.cpp:518).
+    With OSQP's production machinery: modified Ruiz equilibration,
+    equality-row rho boost, periodic adaptive rho (with refactorization),
+    and active-set polish.  Constraint rows with l == u (equalities) are
+    handled by the same projection.  Warm starting via x0/y0 (the
+    reference enables OSQP warm start, mpc.cpp:518).  Termination uses
+    OSQP's unscaled residual criteria.
     """
     n = q.shape[0]
     dtype = q.dtype
+
+    P0, q0, A0, l0, u0 = P, q, A, l, u
+    if ruiz:
+        P, q, A, l, u, D, E, c = ruiz_equilibrate(P, q, A, l, u)
+    else:
+        D = jnp.ones((n,), dtype)
+        E = jnp.ones((A.shape[0],), dtype)
+        c = jnp.asarray(1.0, dtype)
+    cinv = 1.0 / c
+    Dinv = 1.0 / D
+    Einv = 1.0 / E
+
     # OSQP rho vector: equality rows (l == u) get 1e3 * rho — essential for
     # convergence on the MPC QP's mixed equality/box constraint set.
     is_eq = jnp.abs(u - l) < 1e-12
-    rho_vec = jnp.where(is_eq, 1e3 * rho, rho).astype(dtype)
-    M = P + sigma * jnp.eye(n, dtype=dtype) + _mm(A.T * rho_vec, A)
-    chol = cho_factor(M)
+    eye_n = jnp.eye(n, dtype=dtype)
 
-    x = jnp.zeros((n,), dtype) if x0 is None else x0
-    y = jnp.zeros((A.shape[0],), dtype) if y0 is None else y0
+    def factor(rho_s):
+        rho_vec = jnp.where(is_eq, 1e3 * rho_s, rho_s).astype(dtype)
+        M = P + sigma * eye_n + _mm(A.T * rho_vec, A)
+        return rho_vec, cho_factor(M)
+
+    rho_vec, chol = factor(jnp.asarray(rho, dtype))
+
+    # warm starts arrive unscaled (previous tick's solution)
+    x = jnp.zeros((n,), dtype) if x0 is None else Dinv * x0
+    y = jnp.zeros((A.shape[0],), dtype) if y0 is None else c * Einv * y0
     z = jnp.clip(_mm(A, x), l, u)
 
     class S(NamedTuple):
         x: jax.Array
         z: jax.Array
         y: jax.Array
+        rho_s: jax.Array
+        rho_vec: jax.Array
+        chol: jax.Array
         it: jax.Array
         r_prim: jax.Array
         r_dual: jax.Array
@@ -77,36 +191,74 @@ def solve_qp(P, q, A, l, u, *, rho: float = 0.1, sigma: float = 1e-6,
         return ~s.done
 
     def body(s: S):
-        rhs = sigma * s.x - q + _mm(A.T, rho_vec * s.z - s.y)
-        x_t = cho_solve(chol, rhs)
+        rhs = sigma * s.x - q + _mm(A.T, s.rho_vec * s.z - s.y)
+        x_t = cho_solve((s.chol, False), rhs)
         z_t = _mm(A, x_t)
         x_new = alpha * x_t + (1 - alpha) * s.x
         z_relax = alpha * z_t + (1 - alpha) * s.z
-        z_new = jnp.clip(z_relax + s.y / rho_vec, l, u)
-        y_new = s.y + rho_vec * (z_relax - z_new)
+        z_new = jnp.clip(z_relax + s.y / s.rho_vec, l, u)
+        y_new = s.y + s.rho_vec * (z_relax - z_new)
 
-        Ax = _mm(A, x_new)
-        r_prim = jnp.max(jnp.abs(Ax - z_new))
-        Px = _mm(P, x_new)
-        Aty = _mm(A.T, y_new)
-        r_dual = jnp.max(jnp.abs(Px + q + Aty))
-        eps_prim = eps_abs + eps_rel * jnp.maximum(jnp.max(jnp.abs(Ax)),
-                                                   jnp.max(jnp.abs(z_new)))
-        eps_dual = eps_abs + eps_rel * jnp.maximum(
-            jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
-            jnp.max(jnp.abs(q)))
+        # unscaled residuals (OSQP default termination is on unscaled data)
+        Ax_u = Einv * _mm(A, x_new)
+        z_u = Einv * z_new
+        r_prim = jnp.max(jnp.abs(Ax_u - z_u))
+        Px_u = cinv * Dinv * _mm(P, x_new)
+        Aty_u = cinv * Dinv * _mm(A.T, y_new)
+        q_u = cinv * Dinv * q
+        r_dual = jnp.max(jnp.abs(Px_u + q_u + Aty_u))
+        prim_norm = jnp.maximum(jnp.max(jnp.abs(Ax_u)),
+                                jnp.max(jnp.abs(z_u)))
+        dual_norm = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px_u)), jnp.max(jnp.abs(Aty_u))),
+            jnp.max(jnp.abs(q_u)))
+        eps_prim = eps_abs + eps_rel * prim_norm
+        eps_dual = eps_abs + eps_rel * dual_norm
         converged = (r_prim < eps_prim) & (r_dual < eps_dual)
         it = s.it + 1
-        return S(x=x_new, z=z_new, y=y_new, it=it,
+
+        # periodic adaptive rho (OSQP §5.2 eq. 29), refactorize on change
+        if adaptive_rho:
+            ratio = jnp.sqrt((r_prim / jnp.maximum(prim_norm, 1e-12))
+                             / jnp.maximum(
+                                 r_dual / jnp.maximum(dual_norm, 1e-12),
+                                 1e-12))
+            rho_prop = jnp.clip(s.rho_s * ratio, 1e-6, 1e6)
+            adapt = (jnp.mod(it, adaptive_rho_interval) == 0) \
+                & ((rho_prop > 5.0 * s.rho_s) | (rho_prop < s.rho_s / 5.0)) \
+                & ~converged
+
+            def refac(_):
+                rv, ch = factor(rho_prop)
+                return rho_prop, rv, ch[0]
+
+            def keep(_):
+                return s.rho_s, s.rho_vec, s.chol
+
+            rho_s, rho_vec_n, chol_n = jax.lax.cond(adapt, refac, keep,
+                                                    None)
+        else:
+            rho_s, rho_vec_n, chol_n = s.rho_s, s.rho_vec, s.chol
+
+        return S(x=x_new, z=z_new, y=y_new,
+                 rho_s=rho_s, rho_vec=rho_vec_n, chol=chol_n, it=it,
                  r_prim=r_prim, r_dual=r_dual,
                  done=converged | (it >= max_iter))
 
-    init = S(x=x, z=z, y=y, it=jnp.asarray(0, jnp.int32),
+    init = S(x=x, z=z, y=y, rho_s=jnp.asarray(rho, dtype),
+             rho_vec=rho_vec, chol=chol[0],
+             it=jnp.asarray(0, jnp.int32),
              r_prim=jnp.asarray(jnp.inf, dtype),
              r_dual=jnp.asarray(jnp.inf, dtype),
              done=jnp.asarray(False))
     out = jax.lax.while_loop(cond, body, init)
-    return QPSolution(x=out.x, y=out.y, iters=out.it,
+
+    # unscale, then polish on the original data
+    x_u = D * out.x
+    y_u = cinv * E * out.y
+    if polish:
+        x_u, y_u = _polish(P0, q0, A0, l0, u0, x_u, y_u)
+    return QPSolution(x=x_u, y=y_u, iters=out.it,
                       r_prim=out.r_prim, r_dual=out.r_dual,
                       converged=out.it < max_iter)
 

@@ -181,9 +181,14 @@ class SampleValues(NamedTuple):
 
 
 def _sample_kernel(x, bound: Boundary, shape: ProblemShape,
-                   grid: tgrid.TerrainGrid, cfg: ALMConfig):
+                   grid: tgrid.TerrainGrid, cfg: ALMConfig,
+                   exact: bool = True):
     """Evaluate all constraint sample quantities (the fused hot kernel;
-    mirrors alm_traj_opt.cpp:710-817)."""
+    mirrors alm_traj_opt.cpp:710-817).
+
+    exact=False uses the bf16-packed 2-item terrain lookup when the grid
+    carries one (solver iteration evals); exact=True is the f32 reference
+    path (final residuals, parity oracles)."""
     N, K = shape.piece_xy, shape.int_K
     K1 = K + 1
     S = N * K1
@@ -206,13 +211,20 @@ def _sample_kernel(x, bound: Boundary, shape: ProblemShape,
 
     # terrain 7-tuple at every sample, channel-major [7, S]
     tv = tgrid.get_terrain_variables_cm(grid, pos[0], pos[1],
-                                        tgrid.normalize_so2(yaw))
+                                        tgrid.normalize_so2(yaw),
+                                        exact=exact)
     inv_cos_vphix, sin_phix = tv[0], tv[1]
     inv_cos_vphiy, sin_phiy = tv[2], tv[3]
     cos_xi, inv_cos_xi, sigma = tv[4], tv[5], tv[6]
 
     cyaw_, syaw_ = jnp.cos(yaw), jnp.sin(yaw)
-    v_norm = jnp.sqrt(vel[0] * vel[0] + vel[1] * vel[1])
+    # floor under the norm: d(sqrt)/dx at exactly 0 is NaN, and a single
+    # zero-velocity sample would poison the whole gradient (measured: wide
+    # TPU tilings flush denormal vel^2 to zero and a NaN gradient then gets
+    # ACCEPTED by the Wolfe test — NaN comparisons are False — killing the
+    # lane; root cause of the round-1 ">4k-lane NaN corruption")
+    v_norm = jnp.sqrt(jnp.maximum(vel[0] * vel[0] + vel[1] * vel[1],
+                                  1e-24))
     lon_acc = acc[0] * cyaw_ + acc[1] * syaw_
     lat_acc = -acc[0] * syaw_ + acc[1] * cyaw_
     g = grid.gravity
@@ -287,24 +299,26 @@ def smooth_cost(x, bound, shape, grid, cfg, scale_fx):
 
 
 def inner_cost_aux(x, bound, shape, grid, cfg, duals: DualState,
-                   scaling: Scaling):
+                   scaling: Scaling, exact: bool = True):
     """`inner_cost` returning (cost, (h_scaled [E], g_scaled [I])) — the
     scaled constraint values fall out of the same forward pass, so the ALM
     dual update costs no extra kernel evaluation (cf. the reference's
     separate post-solve constraint pass, alm_traj_opt.cpp:234-271)."""
-    return _inner_cost_impl(x, bound, shape, grid, cfg, duals, scaling)
+    return _inner_cost_impl(x, bound, shape, grid, cfg, duals, scaling,
+                            exact)
 
 
 def inner_cost(x, bound, shape, grid, cfg, duals: DualState,
-               scaling: Scaling):
+               scaling: Scaling, exact: bool = True):
     """The L-BFGS objective (innerCallback, alm_traj_opt.cpp:280-347)."""
-    return _inner_cost_impl(x, bound, shape, grid, cfg, duals, scaling)[0]
+    return _inner_cost_impl(x, bound, shape, grid, cfg, duals, scaling,
+                            exact)[0]
 
 
 def _inner_cost_impl(x, bound, shape, grid, cfg, duals: DualState,
-                     scaling: Scaling):
+                     scaling: Scaling, exact: bool = True):
     sv, (cT_xy, Tp_xy, cT_yaw, Tp_yaw, T) = _sample_kernel(
-        x, bound, shape, grid, cfg)
+        x, bound, shape, grid, cfg, exact)
     trick = cfg.scale_trick_jerk if cfg.use_scaling else 1.0
     jerk = (uniform.jerk_cost_norm_cm(cT_xy, Tp_xy, shape.piece_xy)
             + uniform.jerk_cost_norm_cm(cT_yaw, Tp_yaw, shape.piece_yaw)) \
@@ -550,7 +564,7 @@ def solve_flat(x0, bound: Boundary, shape: ProblemShape,
         return flat_step(s, bound, scaling, shape, grid, cfg, p)
 
     out = jax.lax.while_loop(cond, body, init)
-    return flat_result(out, bound, shape, cfg)
+    return flat_result(out, bound, shape, cfg, grid, scaling)
 
 
 def _make_scaling(x0, bound, shape, grid, cfg) -> Scaling:
@@ -605,12 +619,15 @@ def flat_step(s: _FlatState, bound: Boundary, scaling: Scaling,
     x_t = s.x + s.stp * s.d
     (f_t, (h_t, g_t)), grad_t = jax.value_and_grad(
         inner_cost_aux, has_aux=True)(x_t, bound, shape, grid, cfg,
-                                      s.duals, scaling)
+                                      s.duals, scaling, False)
     if True:  # keep the original body indentation below
         rv = s.reeval
 
         # ---- line-search decision (lbfgs.hpp:276-389), masked by ~reeval
-        bad = jnp.isinf(f_t) | jnp.isnan(f_t)
+        # a nonfinite GRADIENT must also reject the step: NaN wolfe/armijo
+        # comparisons are False, so without this check a NaN-grad step is
+        # silently accepted and the NaN rides the L-BFGS memory forever
+        bad = ~jnp.isfinite(f_t) | ~jnp.all(jnp.isfinite(grad_t))
         early = (p.past > 0) & (jnp.abs(s.f - f_t) / (jnp.abs(s.f) + 1.0)
                                 < p.delta / npast)
         armijo_fail = f_t > s.f + s.stp * s.dgtest
@@ -679,7 +696,13 @@ def flat_step(s: _FlatState, bound: Boundary, scaling: Scaling,
         y_vec = grad_t - s.g
         ys_new = _dot(y_vec, s_vec)
         cau = _dot(s_vec, s_vec) * jnp.linalg.norm(s.g) * p.cautious_factor
-        acc_mem = accepted & (ys_new > cau)
+        # relative curvature floor: near convergence `cau` underflows to 0
+        # (denormal; wide-batch tilings flush it), letting a ~0 ys into the
+        # memory whose 1/ys then produces an inf/NaN two-loop direction
+        # (root cause of the round-1 "wide-batch corruption", e12 trace)
+        ys_floor = 1e-10 * jnp.sqrt(_dot(s_vec, s_vec)
+                                    * _dot(y_vec, y_vec))
+        acc_mem = accepted & (ys_new > jnp.maximum(cau, ys_floor))
         S_n = jnp.where(rv, jnp.zeros_like(s.S),
                         jnp.where(acc_mem, s.S.at[s.end].set(s_vec), s.S))
         Y_n = jnp.where(rv, jnp.zeros_like(s.Y),
@@ -702,7 +725,9 @@ def flat_step(s: _FlatState, bound: Boundary, scaling: Scaling,
         yy0 = jnp.where(use_mem, _dot(Y_n[newest], Y_n[newest]), 1.0)
         d_mem = lbfgs._two_loop(g_n, S_n, Y_n, YS_n, end_n, bound_n,
                                 ys0, yy0, m)
-        d_new = jnp.where(use_mem, d_mem, -g_n)
+        # nonfinite two-loop output (pathological memory) -> steepest descent
+        d_new = jnp.where(use_mem & jnp.all(jnp.isfinite(d_mem)), d_mem,
+                          -g_n)
         dginit = _dot(g_n, d_new)
         # non-descent direction is an immediate L-BFGS error
         bad_dir = (step_done | rv) & ~lb_done & (dginit > 0.0)
@@ -778,15 +803,70 @@ def flat_run(state: _FlatState, bound: Boundary, scaling: Scaling,
     return out
 
 
+def exact_residuals(x, duals: DualState, bound: Boundary,
+                    shape: ProblemShape, grid, cfg: ALMConfig,
+                    scaling: Scaling):
+    """(res_h, res_g) on the exact f32 terrain path — re-evaluated once per
+    lane so bf16-packed iteration evals never blur the reported
+    convergence (judgeConvergence semantics, alm_traj_opt.h:140-151)."""
+    h_raw, g_raw = raw_constraints(x, bound, shape, grid, cfg)
+    h = h_raw * scaling.scale_cx[0]
+    g = (g_raw * scaling.scale_cx[1:7]).reshape(-1)
+    res_h = jnp.max(jnp.abs(h))
+    res_g = jnp.max(jnp.maximum(g, -duals.mu / duals.rho))
+    return res_h, res_g
+
+
 def flat_result(out: _FlatState, bound: Boundary, shape: ProblemShape,
-                cfg: ALMConfig) -> ALMResult:
+                cfg: ALMConfig, grid=None,
+                scaling: Scaling | None = None) -> ALMResult:
     c_xy, ts_xy, c_yaw, ts_yaw, _ = _coeffs(out.x, bound, shape)
     traj = SE2Traj(c_xy=c_xy, ts_xy=ts_xy, c_yaw=c_yaw, ts_yaw=ts_yaw)
-    converged = jnp.maximum(out.res_h, out.res_g) < cfg.epsilon_con
+    res_h, res_g = out.res_h, out.res_g
+    if grid is not None and scaling is not None \
+            and grid.data_packed is not None:
+        res_h, res_g = exact_residuals(out.x, out.duals, bound, shape,
+                                       grid, cfg, scaling)
+    converged = jnp.maximum(res_h, res_g) < cfg.epsilon_con
     return ALMResult(x=out.x, traj=traj, converged=converged,
                      outer_iters=out.o_it, inner_iters=out.inner_iters,
-                     res_h=out.res_h, res_g=out.res_g,
+                     res_h=res_h, res_g=res_g,
                      lbfgs_status=out.lb_status)
+
+
+def debug_iterates(x0, bound: Boundary, shape: ProblemShape, grid,
+                   cfg: ALMConfig, max_evals: int = 256,
+                   lbfgs_overrides: dict | None = None):
+    """Optimization stepper: the reference's `in_debug` mode publishes the
+    intermediate trajectory after every L-BFGS iteration
+    (alm_traj_opt.cpp:993-1017 earlyExit + debug_pub).  This returns the
+    same information as arrays: one flat-solver evaluation per row.
+
+    Returns dict with
+      x      [max_evals, n]  iterate after each evaluation
+      f      [max_evals]     objective value
+      outer  [max_evals]     ALM outer-round index
+      inner  [max_evals]     L-BFGS iteration counter
+      valid  [max_evals]     False once the solve finished (rows frozen)
+    Downstream, `minco.traj`/`api` can evaluate any row's trajectory for
+    visualization (see examples/debug_stepper.py).
+    """
+    scaling = _make_scaling(x0, bound, shape, grid, cfg)
+    p = lbfgs_params_from(cfg)
+    if lbfgs_overrides:
+        p = dataclasses.replace(p, **lbfgs_overrides)
+    s0 = flat_init(x0, shape, cfg, p)
+
+    def step(s, _):
+        s2 = flat_step(s, bound, scaling, shape, grid, cfg, p)
+        s3 = jax.tree.map(lambda new, old: jnp.where(s.done, old, new),
+                          s2, s)
+        return s3, (s3.x, s3.f, s3.o_it, s3.inner_iters, ~s.done)
+
+    _, (xs, fs, outer, inner, valid) = jax.lax.scan(
+        step, s0, None, length=max_evals)
+    return {"x": xs, "f": fs, "outer": outer, "inner": inner,
+            "valid": valid}
 
 
 class _SmallResult(NamedTuple):
@@ -906,9 +986,22 @@ def _solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
 
     def get_small(n):
         if n not in small_fns:
-            small_fns[n] = jax.jit(lambda st: _SmallResult(
-                x=st.x, o_it=st.o_it, inner_iters=st.inner_iters,
-                res_h=st.res_h, res_g=st.res_g, lb_status=st.lb_status))
+            if grid.data_packed is not None:
+                def small(st, bd, sc, g):
+                    rh, rg = jax.vmap(
+                        lambda x_, d_, b_, c_: exact_residuals(
+                            x_, d_, b_, shape, g, cfg, c_))(
+                        st.x, st.duals, bd, sc)
+                    return _SmallResult(
+                        x=st.x, o_it=st.o_it, inner_iters=st.inner_iters,
+                        res_h=rh, res_g=rg, lb_status=st.lb_status)
+            else:
+                def small(st, bd, sc, g):
+                    return _SmallResult(
+                        x=st.x, o_it=st.o_it, inner_iters=st.inner_iters,
+                        res_h=st.res_h, res_g=st.res_g,
+                        lb_status=st.lb_status)
+            small_fns[n] = jax.jit(small)
         return small_fns[n]
 
     # host-side accumulators for the small result
@@ -921,7 +1014,7 @@ def _solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
         nlive = len(idx)
         out = get_run(cur_size)(cur[0], cur[1], cur[2], grid)
         done = np.asarray(out.done)[:nlive]
-        small = get_small(cur_size)(out)
+        small = get_small(cur_size)(out, cur[1], cur[2], grid)
         fin = np.nonzero(done)[0]
         host_small = None
         if fin.size or done.all():

@@ -82,7 +82,10 @@ def _line_search(fun, xp, fp, gp, d, stp0, p: LBFGSParams):
         f, g = fun(x)
         count = s.count + 1
 
-        bad_f = jnp.isinf(f) | jnp.isnan(f)
+        # nonfinite gradient must reject too: NaN Wolfe/Armijo comparisons
+        # are False, so a NaN-grad step would otherwise be accepted and
+        # poison the L-BFGS memory (see alm.flat_step)
+        bad_f = ~jnp.isfinite(f) | ~jnp.all(jnp.isfinite(g))
         # in-search past-delta accept (lbfgs.hpp:327-329)
         early = (p.past > 0) & (jnp.abs(fp - f) / (jnp.abs(fp) + 1.0)
                                 < p.delta / max(p.past, 1))
@@ -223,7 +226,8 @@ def minimize(fun: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
         yy = jnp.where(use_mem,
                        _dot(s.Y[newest], s.Y[newest]), 1.0)
         d_mem = _two_loop(s.g, s.S, s.Y, s.YS, s.end, s.bound, ys, yy, m)
-        d = jnp.where(use_mem, d_mem, -s.g)
+        # nonfinite two-loop output (pathological memory) -> steepest descent
+        d = jnp.where(use_mem & jnp.all(jnp.isfinite(d_mem)), d_mem, -s.g)
 
         ls = _line_search(fun, s.x, s.f, s.g, d, s.step0, p)
         evals = s.evals + ls.count
@@ -256,7 +260,11 @@ def minimize(fun: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
         y_vec = g - s.g
         ys_new = _dot(y_vec, s_vec)
         cau = _dot(s_vec, s_vec) * jnp.linalg.norm(s.g) * p.cautious_factor
-        accept = (ys_new > cau) & ~fail
+        # relative curvature floor (see alm.flat_step): keeps a ~0 ys whose
+        # reciprocal would blow up the two-loop out of the memory
+        ys_floor = 1e-10 * jnp.sqrt(_dot(s_vec, s_vec)
+                                    * _dot(y_vec, y_vec))
+        accept = (ys_new > jnp.maximum(cau, ys_floor)) & ~fail
         S = jnp.where(accept, s.S.at[s.end].set(s_vec), s.S)
         Y = jnp.where(accept, s.Y.at[s.end].set(y_vec), s.Y)
         YS = jnp.where(accept, s.YS.at[s.end].set(ys_new), s.YS)

@@ -61,6 +61,17 @@ class TerrainGrid:
     # paying 16-32x lane padding on a trailing channel dim.  Built by
     # `with_pair_table`; None disables the fast lookup path.
     data_pair: jax.Array | None = None
+    # Optional bf16-packed (y, yaw)-pair gather table [6, Nx*Ny*Nyaw] f32:
+    # column (x, y, w) packs the 12 bf16 values {sigma, zb0, zb1} x
+    # {(y, w), (y, w+1), (y+1, w), (y+1, w+1)} into 6 f32 words, so one
+    # trilinear lookup gathers only the 2 x-corner columns — half the
+    # items of `data_pair` (the XLA gather unit moves ~160 M items/s on
+    # this TPU regardless of item bytes, so item COUNT is the solver's
+    # dominant cost; measured 90% of the fused eval).  bf16 quantizes the
+    # stored field (~0.4% relative); the solver keeps exactness by running
+    # its final constraint/dual evaluations on the f32 tables.  Built by
+    # `with_packed_table`; None disables the 2-item fast path.
+    data_packed: jax.Array | None = None
     # Static geometry (hashable; changing them retriggers jit).
     xy_resolution: float = struct.field(pytree_node=False, default=0.05)
     yaw_resolution: float = struct.field(pytree_node=False, default=0.1)
@@ -360,6 +371,50 @@ def with_pair_table(grid: TerrainGrid) -> TerrainGrid:
     return grid.replace(data_pair=pair.reshape(nx * ny * nyaw, 8).T)
 
 
+def _bf16_round_bits(u32):
+    """Round-to-nearest-even f32 bit pattern -> upper-16 bf16 bits (numpy)."""
+    import numpy as np
+    u = u32.astype(np.uint64)
+    rounded = (u + 0x7FFF + ((u >> np.uint64(16)) & np.uint64(1)))
+    return (rounded >> np.uint64(16)).astype(np.uint32)
+
+
+def with_packed_table(grid: TerrainGrid) -> TerrainGrid:
+    """Attach the bf16-packed (y, yaw)-pair table (TerrainGrid.data_packed).
+
+    Word layout per cell column (x, y, w), 6 f32 words:
+      word[2*ch + yy] = pack(val[ch, y+yy, w], val[ch, y+yy, w+1])
+    for ch in (sigma, zb0, zb1), yy in (0, 1); y+1 clipped, w+1 wrapped —
+    identical edge semantics to the unpacked trilinear path.  The high
+    halfword holds the w corner, the low halfword the w+1 corner, so the
+    kernel unpacks with two integer ops per word and no trailing small dim.
+    """
+    import numpy as np
+    nx, ny, nyaw = grid.voxel_num
+    d = np.asarray(grid.data, np.float32)[..., 1:4]        # (sigma, zb0, zb1)
+    dw1 = np.roll(d, -1, axis=2)                           # w+1 (wrapped)
+    dy1 = d[:, np.minimum(np.arange(ny) + 1, ny - 1)]      # y+1 (clipped)
+    dy1w1 = np.roll(dy1, -1, axis=2)
+    bits = [_bf16_round_bits(a.view(np.uint32))
+            for a in (d, dw1, dy1, dy1w1)]                 # [nx,ny,nyaw,3]
+    words = []
+    for ch in range(3):
+        for yy in range(2):
+            hi, lo = bits[2 * yy][..., ch], bits[2 * yy + 1][..., ch]
+            words.append(((hi << np.uint32(16)) | lo).astype(np.uint32))
+    packed = np.stack(words).reshape(6, nx * ny * nyaw).view(np.float32)
+    return grid.replace(data_packed=jnp.asarray(packed))
+
+
+def _unpack_bf16_pair(words_u32):
+    """f32-bitcast words -> (hi, lo) f32 values (bf16 << 16 widening)."""
+    hi = jax.lax.bitcast_convert_type(
+        words_u32 & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(
+        words_u32 << jnp.uint32(16), jnp.float32)
+    return hi, lo
+
+
 def get_terrain_batch(grid: TerrainGrid, poses: jax.Array) -> jax.Array:
     """[M, 4] RXS2 values for [M, 3] SE(2) poses (batched `get_terrain`)."""
     nx, ny, nyaw = grid.voxel_num
@@ -440,8 +495,76 @@ def get_terrain_batch(grid: TerrainGrid, poses: jax.Array) -> jax.Array:
     return jnp.where(inside[:, None], val, 0.0)
 
 
+def _tv_from_fields(sig, zb0, zb1, yaw):
+    """7-tuple terrain variables from interpolated (sigma, zb0, zb1) fields
+    and yaw — the shared tail of every channel-major lookup
+    (uneven_map.h:221-256)."""
+    c = jnp.sqrt(jnp.maximum(1.0 - zb0 * zb0 - zb1 * zb1, 1e-12))
+    inv_c = 1.0 / c
+    cyaw, syaw = jnp.cos(yaw), jnp.sin(yaw)
+    t = cyaw * zb0 + syaw * zb1
+    s = syaw * zb0 - cyaw * zb1
+    sqrt_1_t2 = jnp.sqrt(jnp.maximum(1.0 - t * t, 1e-12))
+    inv_sq = 1.0 / sqrt_1_t2
+    return jnp.stack([inv_sq, -c * t * inv_sq, sqrt_1_t2 * inv_c,
+                      s * inv_sq, c, inv_c, sig])
+
+
+def get_terrain_variables_cm_packed(grid: TerrainGrid, px: jax.Array,
+                                    py: jax.Array,
+                                    yaw: jax.Array) -> jax.Array:
+    """Channel-major terrain variables via the bf16-packed table: TWO
+    gathered items per trilinear SE(2) lookup (the minimum the corner
+    structure allows at <=8 f32 per item) instead of `data_pair`'s four.
+
+    Semantics match `get_terrain_variables_cm` up to bf16 quantization of
+    the stored field (~4e-3 relative, tested); the ALM solver uses this for
+    line-search/iteration evals and re-evaluates its final constraint
+    residuals on the exact f32 table.
+    """
+    nx, ny, nyaw = grid.voxel_num
+    res = grid.xy_resolution
+    yres = grid.yaw_resolution
+    ox, oy, oyaw = grid.origin
+
+    ixf = jnp.floor((px - 0.5 * res - ox) / res)
+    iyf = jnp.floor((py - 0.5 * res - oy) / res)
+    ywm = normalize_so2(yaw - 0.5 * yres)
+    iwf = jnp.floor((ywm - oyaw) / yres)
+    wx = (px - ((ixf + 0.5) * res + ox)) / res
+    # low-y edge: the exact path clamps BOTH y corners to row 0 there
+    # (iy1 = clip(0) = 0); the packed pair at row 0 is (0, 1), so zero the
+    # blend weight instead.  The top edge and both x edges clamp correctly
+    # through the pack/clip structure.
+    wy = jnp.where(iyf < 0, 0.0, (py - ((iyf + 0.5) * res + oy)) / res)
+    wt = so2_diff(yaw, (iwf + 0.5) * yres + oyaw) / yres
+
+    ix0 = jnp.clip(ixf.astype(jnp.int32), 0, nx - 1)
+    ix1 = jnp.clip(ixf.astype(jnp.int32) + 1, 0, nx - 1)
+    iy0 = jnp.clip(iyf.astype(jnp.int32), 0, ny - 1)
+    iw = jnp.mod(iwf.astype(jnp.int32), nyaw)
+
+    M = px.shape[0]
+    idx2 = jnp.stack([(ix0 * ny + iy0) * nyaw + iw,
+                      (ix1 * ny + iy0) * nyaw + iw])          # [2, M]
+    w = jnp.take(grid.data_packed, idx2.reshape(-1), axis=1,
+                 mode="clip").reshape(6, 2, M)
+    u = jax.lax.bitcast_convert_type(w, jnp.uint32)
+    v_w0, v_w1 = _unpack_bf16_pair(u)         # [6, 2x, M] at w, w+1
+    vw = v_w0 * (1.0 - wt) + v_w1 * wt        # yaw blend -> [6, 2x, M]
+    # rows: [2*ch + yy] -> y blend then x blend
+    vy = vw[0::2] * (1.0 - wy) + vw[1::2] * wy   # [3ch, 2x, M]
+    val = vy[:, 0] * (1.0 - wx) + vy[:, 1] * wx  # [3ch, M]
+
+    inside = (px > ox + 1e-4) & (px < ox + nx * res - 1e-4) \
+        & (py > oy + 1e-4) & (py < oy + ny * res - 1e-4)
+    val = jnp.where(inside[None, :], val, 0.0)
+    return _tv_from_fields(val[0], val[1], val[2], yaw)
+
+
 def get_terrain_variables_cm(grid: TerrainGrid, px: jax.Array,
-                             py: jax.Array, yaw: jax.Array) -> jax.Array:
+                             py: jax.Array, yaw: jax.Array,
+                             exact: bool = True) -> jax.Array:
     """Channel-major batched terrain variables: three [M] coordinate vectors
     (yaw pre-normalized into [-pi, pi)) -> [7, M] variables.
 
@@ -451,7 +574,12 @@ def get_terrain_variables_cm(grid: TerrainGrid, px: jax.Array,
     [M]-vector math after it — no tensor in the pipeline carries a small
     trailing channel dim, so nothing pays (8, 128) lane padding.  Bitwise
     semantics match `get_terrain_variables_batch` (tested).
+
+    With exact=False and a packed table attached, uses the 2-item bf16
+    fast path (`get_terrain_variables_cm_packed`).
     """
+    if not exact and grid.data_packed is not None:
+        return get_terrain_variables_cm_packed(grid, px, py, yaw)
     if grid.data_pair is None:
         poses = jnp.stack([px, py, yaw], axis=1)
         return get_terrain_variables_batch(grid, poses).T

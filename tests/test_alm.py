@@ -320,3 +320,78 @@ def test_solve_flat_compacted_bitwise(grid):
     np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
     np.testing.assert_array_equal(np.asarray(r1.inner_iters),
                                   np.asarray(r2.inner_iters))
+
+
+def test_solve_flat_split_packed_matches_exact_population(grid):
+    """Round-3 packed-table gate: the split hi+lo bf16 terrain table
+    (<=4e-6 field error; terrain/grid.py with_packed_table) must leave the
+    flat solver's convergence and solutions essentially unchanged vs the
+    exact f32 pair-table path, over a 64-scenario population.  Also checks
+    that the solver's own reported residuals agree with an exact-path
+    re-evaluation (the round-2 flat-bf16 table failed exactly this)."""
+    from uneven_planner_tpu.terrain import grid as tgrid
+    g32 = tgrid.TerrainGrid(
+        data=jnp.asarray(np.asarray(grid.data, np.float32)),
+        occ=grid.occ, occ_xy=grid.occ_xy,
+        xy_resolution=grid.xy_resolution,
+        yaw_resolution=grid.yaw_resolution, origin=grid.origin)
+    gp = tgrid.with_pair_table(g32)
+    gs = tgrid.with_packed_table(gp)
+    cfg = ALMConfig()
+    shape = alm.ProblemShape(piece_xy=5, piece_yaw=10, int_K=8)
+    rng = np.random.default_rng(23)
+    N = 64
+    x0s, bounds = [], []
+    for _ in range(N):
+        ang = rng.uniform(-np.pi, np.pi)
+        start = rng.uniform(-3.5, -1.5, size=2)
+        goal = np.clip(start + rng.uniform(1.2, 2.2)
+                       * np.array([np.cos(ang), np.sin(ang)]), -4, 4)
+        yaw = np.arctan2(goal[1] - start[1], goal[0] - start[0])
+        t = np.linspace(0, 1, 16)[:, None]
+        path = np.concatenate([(1 - t) * start + t * goal,
+                               np.full((16, 1), yaw)], axis=1)
+        x0, bound = manager.init_guess_fixed(path, ManagerConfig(),
+                                             piece_xy=5, piece_yaw=10)
+        x0s.append(x0)
+        bounds.append(bound)
+    xs = jnp.asarray(np.stack(x0s), jnp.float32)
+    bs = jax.tree.map(lambda *a: jnp.asarray(np.stack(a), jnp.float32),
+                      *bounds)
+    ov = {"mem_size": 16, "max_iterations": 100}
+    r_exact = jax.jit(jax.vmap(lambda x, b: alm.solve_flat(
+        x, b, shape, gp, cfg, lbfgs_overrides=ov)))(xs, bs)
+    r_split = jax.jit(jax.vmap(lambda x, b: alm.solve_flat(
+        x, b, shape, gs, cfg, lbfgs_overrides=ov)))(xs, bs)
+    ce = np.asarray(r_exact.converged)
+    cs = np.asarray(r_split.converged)
+    # the packed path must not lose convergences (the round-2 failure mode
+    # was a 4x eval blowup + line-search deaths)
+    assert cs.mean() >= ce.mean() - 2.0 / N, (ce.sum(), cs.sum())
+    both = ce & cs
+    assert both.mean() > 0.9, (ce.sum(), cs.sum())
+    # same optimum on agreeing lanes (the 4e-6 field noise perturbs the
+    # L-BFGS iterate path, so lanes land within the ALM tolerance band of
+    # the same optimum rather than bitwise on it)
+    dx = np.abs(np.asarray(r_split.x)[both] - np.asarray(r_exact.x)[both])
+    assert np.percentile(dx.max(axis=1), 90) < 5e-3, \
+        np.percentile(dx.max(axis=1), 90)
+    assert dx.max() < 2e-2, dx.max()
+    # comparable effort: the split table must NOT inflate iterations
+    ie = np.asarray(r_exact.inner_iters, np.float64)[both].mean()
+    is_ = np.asarray(r_split.inner_iters, np.float64)[both].mean()
+    assert is_ < 1.5 * ie, (ie, is_)
+    # reported residuals are trustworthy: exact-path re-evaluation agrees
+    scal = jax.jit(jax.vmap(lambda x, b: alm._make_scaling(
+        x, b, shape, gp, cfg)))(xs, bs)
+    E, I = shape.equal_num, shape.non_equal_num
+    duals = alm.DualState(lam=jnp.zeros((N, E), jnp.float32),
+                          mu=jnp.zeros((N, I), jnp.float32),
+                          rho=jnp.full((N,), cfg.rho, jnp.float32))
+    rh, rg = jax.jit(jax.vmap(lambda x, d, b, c: alm.exact_residuals(
+        x, d, b, shape, gp, cfg, c)))(r_split.x, duals, bs, scal)
+    res_exact = np.maximum(np.asarray(rh), 0.0)
+    # every lane the split solver declared converged is ALSO converged
+    # under the exact-path constraint evaluation (modulo the 4e-6 noise)
+    viol = res_exact[cs] > cfg.epsilon_con * 1.05
+    assert viol.mean() < 0.05, res_exact[cs].max()

@@ -196,3 +196,89 @@ def test_ackermann_wheel_mapping():
     # rear-axle pose offset (true_state_pub.py:49-53)
     pose = ak.rear_axle_pose(jnp.asarray([1.0, 2.0, 0.0]))
     np.testing.assert_allclose(np.asarray(pose), [0.87, 2.0, 0.0], atol=1e-12)
+
+
+# ------------------- golden control-sequence parity (BASELINE gate) ---------
+
+def test_mpc_golden_control_sequence_parity_f64():
+    """BASELINE config-2 acceptance gate: the production (f32) ADMM MPC path
+    must reproduce the tracking QP's exact optimum to <1e-3 max
+    control-sequence error, per tick, over a tracking episode at reference
+    settings (T=30, dt=0.02, Acker bounds from run_hill.yaml:64-83).
+
+    Golden values come from `utils.qp_ref.solve_qp_f64`, an f64 dense
+    active-set solve certified by explicit KKT residuals (~1e-9) — the
+    unique optimum OSQP approximates at its 1e-6 tolerance
+    (mpc.cpp:513-542, :556-795).  The f64 mirror replays the same
+    relinearization loop (same du/max-iter stopping rule, getCmd
+    mpc.cpp:797-841) with the certified QP solutions."""
+    from uneven_planner_tpu.mpc import traj_msg
+    from uneven_planner_tpu.utils import qp_ref
+
+    cfg = MPCConfig()  # reference defaults == run_hill.yaml mpc block
+    traj = traj_msg.figure_eight(max_vel=0.4)
+    T, d = cfg.predict_steps, cfg.delay_num
+    H = T - d
+    dimx = 3 * H
+    max_sqp = 3
+
+    step_f32 = jax.jit(
+        lambda st, xr, dr, op, ob: tracker.mpc_step(
+            st, xr, dr, op, ob, cfg, max_sqp_iter=max_sqp))
+
+    def mirror_f64(state, xref, dref, output_prev):
+        """Relinearization loop with certified f64 QP solves."""
+        out = np.asarray(output_prev, np.float64)
+        for _ in range(max_sqp):
+            xbar = np.asarray(tracker.predict_motion(
+                jnp.asarray(state, jnp.float64),
+                jnp.asarray(out, jnp.float64), cfg))
+            P, q, A, l, u = [np.asarray(a, np.float64)
+                             for a in tracker.assemble_qp(
+                                 jnp.asarray(xbar), jnp.asarray(out),
+                                 jnp.asarray(xref, jnp.float64),
+                                 jnp.asarray(dref, jnp.float64), cfg)]
+            z, _ = qp_ref.solve_qp_f64(P, q, A, l, u)
+            un = z[dimx:].reshape(H, 2).T
+            new = out.copy()
+            new[:, d:] = un
+            du = np.sum(np.abs(new - out))
+            out = new
+            if du <= cfg.du_threshold:
+                break
+        return out
+
+    # start slightly off the trajectory so the QP works (nonzero error)
+    from uneven_planner_tpu.minco.traj import se2_state
+    p0, _, _, yaw0, _, _ = [np.asarray(v)
+                            for v in se2_state(traj, jnp.asarray(0.0))]
+    state = np.array([p0[0] + 0.05, p0[1] - 0.03, yaw0 + 0.1], np.float64)
+    output = np.zeros((2, T), np.float64)
+    buff = np.zeros((max(d, 1), 2), np.float64)
+
+    worst = 0.0
+    t_now = 0.0
+    for _ in range(20):
+        refs, _ = tracker.get_ref_points(traj, jnp.asarray(t_now), cfg)
+        refs = tracker.smooth_yaw(refs, jnp.asarray(state[2]))
+        refs = np.asarray(refs, np.float64)
+        dref = np.zeros_like(refs[:2])
+
+        res = step_f32(jnp.asarray(state, jnp.float32),
+                       jnp.asarray(refs, jnp.float32),
+                       jnp.asarray(dref, jnp.float32),
+                       jnp.asarray(output, jnp.float32),
+                       jnp.asarray(buff, jnp.float32))
+        u_f32 = np.asarray(res.output, np.float64)
+        u_gold = mirror_f64(state, refs, dref, output)
+        worst = max(worst, np.abs(u_f32 - u_gold).max())
+
+        # advance the plant with the production command (both mirrors see
+        # identical inputs each tick, so per-tick parity is what's tested)
+        state = np.asarray(rollout.plant_step(
+            jnp.asarray(state), jnp.asarray(u_gold[:, d]), cfg, 0.01),
+            np.float64)
+        output = u_gold
+        t_now += 0.01
+
+    assert worst < 1e-3, f"max control-sequence error {worst:.2e}"

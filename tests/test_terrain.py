@@ -157,9 +157,10 @@ def test_channel_major_lookup_matches_batch(grid):
 
 
 def test_packed_lookup_matches_exact_within_bf16(grid):
-    """The bf16-packed 2-item lookup must match the exact channel-major path
-    within bf16 quantization (~0.4% relative), including the clamped map
-    edges and the wrapped yaw seam."""
+    """The split hi+lo bf16 2-item lookup must match the exact channel-major
+    path to the hi+lo reconstruction error (<= ~4e-6 relative on the stored
+    field; slightly amplified through the 7-tuple math), including the
+    clamped map edges and the wrapped yaw seam."""
     g32 = tgrid.TerrainGrid(
         data=jnp.asarray(np.asarray(grid.data, np.float32)),
         occ=grid.occ, occ_xy=grid.occ_xy,
@@ -180,7 +181,7 @@ def test_packed_lookup_matches_exact_within_bf16(grid):
     pk = tgrid.get_terrain_variables_cm(g, px, py, yaw, exact=False)
     rel = np.abs(np.asarray(ex) - np.asarray(pk)) / \
         np.maximum(np.abs(np.asarray(ex)), 1.0)
-    assert rel.max() < 5e-3, rel.max()
+    assert rel.max() < 5e-5, rel.max()
 
 
 def test_mesh_to_cloud_roundtrip(tmp_path):

@@ -178,6 +178,10 @@ class MPCConfig:
     qp_rho: float = 0.1
     qp_sigma: float = 1.0e-6
     qp_alpha: float = 1.6
+    # Active-set polish after ADMM convergence.  Off for the 100 Hz tick —
+    # the reference's OSQP run leaves polish at its default (off), and each
+    # polish costs an extra dense KKT factorization per relinearization.
+    qp_polish: bool = False
 
     @property
     def max_comega(self) -> float:

@@ -225,7 +225,7 @@ def mpc_step(now_state, xref, dref, output_prev, output_buff,
             P, q, A, l, u, rho=cfg.qp_rho, sigma=cfg.qp_sigma,
             alpha=cfg.qp_alpha, eps_abs=cfg.qp_abs_tol,
             eps_rel=cfg.qp_rel_tol, max_iter=cfg.qp_max_iter,
-            x0=x_ws, y0=y_prev)
+            x0=x_ws, y0=y_prev, polish=cfg.qp_polish)
         un = sol.x[dimx:].reshape(H, 2).T          # [2, H]
         out = output
         if d > 0:

@@ -178,38 +178,40 @@ def launch_local(worker_body: str, num_processes: int = 2,
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 
-    procs = []
-    for pid in range(num_processes):
-        src = (_WORKER_PROLOGUE.format(repo=repo, coord=coord,
-                                       nprocs=num_processes, pid=pid,
-                                       local_devices=local_devices)
-               + f"\npid = {pid}\nnprocs = {num_processes}\n"
-               + worker_body)
-        f = tempfile.NamedTemporaryFile("w", suffix=f"_worker{pid}.py",
-                                        delete=False)
-        f.write(src)
-        f.close()
-        env = dict(os.environ)
-        # The axon dev-TPU sitecustomize registers its PJRT plugin (which
-        # overrides JAX_PLATFORMS and reports a single-process backend)
-        # whenever PALLAS_AXON_POOL_IPS is set — scrub it so workers get a
-        # clean multi-device CPU backend.
-        for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
-                  "AXON_POOL_SVC_OVERRIDE", "PJRT_LIBRARY_PATH",
-                  "TPU_LIBRARY_PATH", "JAX_PLATFORMS"):
-            env.pop(k, None)
-        env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
-                            f"{local_devices}")
-        procs.append(subprocess.Popen(
-            [sys.executable, f.name], stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT, text=True, env=env))
-    out = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=timeout)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            stdout, _ = p.communicate()
-        out.append((p.returncode, stdout))
-    return out
+    # worker scripts live in one TemporaryDirectory scoped to the launch —
+    # no per-process NamedTemporaryFile leak across bench/test loops
+    with tempfile.TemporaryDirectory(prefix="upt_workers_") as tdir:
+        procs = []
+        for pid in range(num_processes):
+            src = (_WORKER_PROLOGUE.format(repo=repo, coord=coord,
+                                           nprocs=num_processes, pid=pid,
+                                           local_devices=local_devices)
+                   + f"\npid = {pid}\nnprocs = {num_processes}\n"
+                   + worker_body)
+            fname = os.path.join(tdir, f"worker{pid}.py")
+            with open(fname, "w") as f:
+                f.write(src)
+            env = dict(os.environ)
+            # The axon dev-TPU sitecustomize registers its PJRT plugin
+            # (which overrides JAX_PLATFORMS and reports a single-process
+            # backend) whenever PALLAS_AXON_POOL_IPS is set — scrub it so
+            # workers get a clean multi-device CPU backend.
+            for k in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                      "AXON_POOL_SVC_OVERRIDE", "PJRT_LIBRARY_PATH",
+                      "TPU_LIBRARY_PATH", "JAX_PLATFORMS"):
+                env.pop(k, None)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                                f"{local_devices}")
+            procs.append(subprocess.Popen(
+                [sys.executable, fname], stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True, env=env))
+        out = []
+        for p in procs:
+            try:
+                stdout, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                stdout, _ = p.communicate()
+            out.append((p.returncode, stdout))
+        return out

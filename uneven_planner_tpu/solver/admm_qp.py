@@ -23,7 +23,7 @@ from functools import partial
 
 _P = jax.lax.Precision.HIGHEST
 _mm = partial(jnp.matmul, precision=_P)
-from jax.scipy.linalg import cho_factor, cho_solve
+from jax.scipy.linalg import cho_factor, cho_solve, lu_factor, lu_solve
 
 
 class QPSolution(NamedTuple):
@@ -106,11 +106,14 @@ def _polish(P, q, A, l, u, x, y, delta: float = 1e-7):
         [MA, -jnp.diag(1.0 - mask)],
     ])
     rhs = jnp.concatenate([-q, mask * b])
-    sol = jnp.linalg.solve(K, rhs)
+    # factor K once; the refinement solves reuse the LU (K is symmetric
+    # indefinite, so LU rather than Cholesky)
+    K_lu = lu_factor(K)
+    sol = lu_solve(K_lu, rhs)
     # iterative refinement against the unregularized system (OSQP's
     # polish_refine_iter) washes out the delta perturbation
     for _ in range(3):
-        sol = sol + jnp.linalg.solve(K, rhs - _mm(K0, sol))
+        sol = sol + lu_solve(K_lu, rhs - _mm(K0, sol))
     x_p, nu = sol[:n], sol[n:]
     y_p = jnp.where(act, nu, 0.0)
 
@@ -160,7 +163,10 @@ def solve_qp(P, q, A, l, u, *, rho: float = 0.1, sigma: float = 1e-6,
 
     # OSQP rho vector: equality rows (l == u) get 1e3 * rho — essential for
     # convergence on the MPC QP's mixed equality/box constraint set.
-    is_eq = jnp.abs(u - l) < 1e-12
+    # Classified on the UNSCALED bounds: exact equalities stay exact under
+    # row scaling, but a near-equality inequality could flip class purely
+    # from the equilibration magnitudes if tested on E*l/E*u.
+    is_eq = jnp.abs(u0 - l0) < 1e-12
     eye_n = jnp.eye(n, dtype=dtype)
 
     def factor(rho_s):

@@ -61,15 +61,17 @@ class TerrainGrid:
     # paying 16-32x lane padding on a trailing channel dim.  Built by
     # `with_pair_table`; None disables the fast lookup path.
     data_pair: jax.Array | None = None
-    # Optional bf16-packed (y, yaw)-pair gather table [6, Nx*Ny*Nyaw] f32:
-    # column (x, y, w) packs the 12 bf16 values {sigma, zb0, zb1} x
-    # {(y, w), (y, w+1), (y+1, w), (y+1, w+1)} into 6 f32 words, so one
+    # Optional SPLIT hi+lo bf16-packed (y, yaw)-pair gather table
+    # [12, Nx*Ny*Nyaw] f32: column (x, y, w) packs the 12 values
+    # {sigma, zb0, zb1} x {(y, w), (y, w+1), (y+1, w), (y+1, w+1)} as a
+    # bf16 high part (words 0-5) plus a bf16 residual (words 6-11), so one
     # trilinear lookup gathers only the 2 x-corner columns — half the
     # items of `data_pair` (the XLA gather unit moves ~160 M items/s on
     # this TPU regardless of item bytes, so item COUNT is the solver's
-    # dominant cost; measured 90% of the fused eval).  bf16 quantizes the
-    # stored field (~0.4% relative); the solver keeps exactness by running
-    # its final constraint/dual evaluations on the f32 tables.  Built by
+    # dominant cost; measured 90% of the fused eval).  hi + lo
+    # reconstructs the field to <= ~4e-6 relative — far below the solver
+    # tolerances, unlike the abandoned single-bf16 variant whose ~4e-3
+    # noise broke the line search (PLATFORM_NOTES.md §8b).  Built by
     # `with_packed_table`; None disables the 2-item fast path.
     data_packed: jax.Array | None = None
     # Static geometry (hashable; changing them retriggers jit).
@@ -380,14 +382,22 @@ def _bf16_round_bits(u32):
 
 
 def with_packed_table(grid: TerrainGrid) -> TerrainGrid:
-    """Attach the bf16-packed (y, yaw)-pair table (TerrainGrid.data_packed).
+    """Attach the SPLIT hi+lo bf16-packed (y, yaw)-pair table
+    (TerrainGrid.data_packed).
 
-    Word layout per cell column (x, y, w), 6 f32 words:
-      word[2*ch + yy] = pack(val[ch, y+yy, w], val[ch, y+yy, w+1])
+    Word layout per cell column (x, y, w), 12 f32 words:
+      word[2*ch + yy]     = pack(hi[ch, y+yy, w],  hi[ch, y+yy, w+1])
+      word[6 + 2*ch + yy] = pack(lo[ch, y+yy, w],  lo[ch, y+yy, w+1])
     for ch in (sigma, zb0, zb1), yy in (0, 1); y+1 clipped, w+1 wrapped —
-    identical edge semantics to the unpacked trilinear path.  The high
-    halfword holds the w corner, the low halfword the w+1 corner, so the
-    kernel unpacks with two integer ops per word and no trailing small dim.
+    identical edge semantics to the unpacked trilinear path.  hi = RNE
+    bf16 of the f32 value, lo = RNE bf16 of the residual (value - hi), so
+    the kernel reconstructs value = hi + lo with <= ~4e-6 relative error
+    (two bf16 roundings, 2^-9 each) — two orders of magnitude below the
+    Lewis-Overton delta=1e-4 that killed the round-2 flat-bf16 table
+    (PLATFORM_NOTES.md §8b: its ~4e-3 field noise cost 4x MORE evals).
+    One trilinear lookup gathers only the 2 x-corner columns — half the
+    items of `data_pair` (the XLA gather unit's cost is item COUNT,
+    PLATFORM_NOTES.md §4b/§5).
     """
     import numpy as np
     nx, ny, nyaw = grid.voxel_num
@@ -395,14 +405,18 @@ def with_packed_table(grid: TerrainGrid) -> TerrainGrid:
     dw1 = np.roll(d, -1, axis=2)                           # w+1 (wrapped)
     dy1 = d[:, np.minimum(np.arange(ny) + 1, ny - 1)]      # y+1 (clipped)
     dy1w1 = np.roll(dy1, -1, axis=2)
-    bits = [_bf16_round_bits(a.view(np.uint32))
-            for a in (d, dw1, dy1, dy1w1)]                 # [nx,ny,nyaw,3]
+    corners = (d, dw1, dy1, dy1w1)                         # [nx,ny,nyaw,3]
+    hi_bits = [_bf16_round_bits(a.view(np.uint32)) for a in corners]
+    hi_vals = [(b << np.uint32(16)).view(np.float32) for b in hi_bits]
+    lo_bits = [_bf16_round_bits((a - hv).view(np.uint32))
+               for a, hv in zip(corners, hi_vals)]
     words = []
-    for ch in range(3):
-        for yy in range(2):
-            hi, lo = bits[2 * yy][..., ch], bits[2 * yy + 1][..., ch]
-            words.append(((hi << np.uint32(16)) | lo).astype(np.uint32))
-    packed = np.stack(words).reshape(6, nx * ny * nyaw).view(np.float32)
+    for part in (hi_bits, lo_bits):
+        for ch in range(3):
+            for yy in range(2):
+                w0, w1 = part[2 * yy][..., ch], part[2 * yy + 1][..., ch]
+                words.append(((w0 << np.uint32(16)) | w1).astype(np.uint32))
+    packed = np.stack(words).reshape(12, nx * ny * nyaw).view(np.float32)
     return grid.replace(data_packed=jnp.asarray(packed))
 
 
@@ -513,14 +527,15 @@ def _tv_from_fields(sig, zb0, zb1, yaw):
 def get_terrain_variables_cm_packed(grid: TerrainGrid, px: jax.Array,
                                     py: jax.Array,
                                     yaw: jax.Array) -> jax.Array:
-    """Channel-major terrain variables via the bf16-packed table: TWO
-    gathered items per trilinear SE(2) lookup (the minimum the corner
-    structure allows at <=8 f32 per item) instead of `data_pair`'s four.
+    """Channel-major terrain variables via the split hi+lo bf16 table: TWO
+    gathered items per trilinear SE(2) lookup instead of `data_pair`'s
+    four.
 
-    Semantics match `get_terrain_variables_cm` up to bf16 quantization of
-    the stored field (~4e-3 relative, tested); the ALM solver uses this for
-    line-search/iteration evals and re-evaluates its final constraint
-    residuals on the exact f32 table.
+    Semantics match `get_terrain_variables_cm` up to the hi+lo
+    reconstruction error of the stored field (<= ~4e-6 relative, tested) —
+    negligible against the solver's epsilon_con=1e-3 and the line search's
+    delta=1e-4, so the ALM solver can run BOTH its iteration evals and its
+    termination test on this path.
     """
     nx, ny, nyaw = grid.voxel_num
     res = grid.xy_resolution
@@ -548,9 +563,12 @@ def get_terrain_variables_cm_packed(grid: TerrainGrid, px: jax.Array,
     idx2 = jnp.stack([(ix0 * ny + iy0) * nyaw + iw,
                       (ix1 * ny + iy0) * nyaw + iw])          # [2, M]
     w = jnp.take(grid.data_packed, idx2.reshape(-1), axis=1,
-                 mode="clip").reshape(6, 2, M)
+                 mode="clip").reshape(12, 2, M)
     u = jax.lax.bitcast_convert_type(w, jnp.uint32)
-    v_w0, v_w1 = _unpack_bf16_pair(u)         # [6, 2x, M] at w, w+1
+    v_w0, v_w1 = _unpack_bf16_pair(u)         # [12, 2x, M] at w, w+1
+    # hi + lo residual reconstruction (~f32-accurate field)
+    v_w0 = v_w0[:6] + v_w0[6:]
+    v_w1 = v_w1[:6] + v_w1[6:]
     vw = v_w0 * (1.0 - wt) + v_w1 * wt        # yaw blend -> [6, 2x, M]
     # rows: [2*ch + yy] -> y blend then x blend
     vy = vw[0::2] * (1.0 - wy) + vw[1::2] * wy   # [3ch, 2x, M]

@@ -77,7 +77,7 @@ def run_study(B: int = 64, piece_xy: int = 10, piece_yaw: int = 20,
     cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]
     res32, jk32 = solve_on(dev, jnp.float32)
-    with jax.experimental.enable_x64():
+    with jax.enable_x64(True):
         res64, jk64 = solve_on(cpu, jnp.float64)
 
     both = res32.converged & res64.converged

@@ -396,6 +396,10 @@ class ALMResult(NamedTuple):
     res_h: jax.Array
     res_g: jax.Array
     lbfgs_status: jax.Array
+    # total cost+gradient evaluations per lane (the flat solver's unit of
+    # work; the wall-time roofline is evals x per-eval gather cost).  The
+    # nested `solve` path reports -1 (it does not count line-search evals).
+    evals: jax.Array | None = None
 
 
 def lbfgs_params_from(cfg: ALMConfig) -> lbfgs.LBFGSParams:
@@ -832,7 +836,7 @@ def flat_result(out: _FlatState, bound: Boundary, shape: ProblemShape,
     return ALMResult(x=out.x, traj=traj, converged=converged,
                      outer_iters=out.o_it, inner_iters=out.inner_iters,
                      res_h=out.res_h, res_g=out.res_g,
-                     lbfgs_status=out.lb_status)
+                     lbfgs_status=out.lb_status, evals=out.evals)
 
 
 def debug_iterates(x0, bound: Boundary, shape: ProblemShape, grid,
@@ -879,6 +883,7 @@ class _SmallResult(NamedTuple):
     res_h: jax.Array
     res_g: jax.Array
     lb_status: jax.Array
+    evals: jax.Array
 
 
 def solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
@@ -995,7 +1000,7 @@ def _solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
                 return _SmallResult(
                     x=st.x, o_it=st.o_it, inner_iters=st.inner_iters,
                     res_h=st.res_h, res_g=st.res_g,
-                    lb_status=st.lb_status)
+                    lb_status=st.lb_status, evals=st.evals)
             small_fns[n] = jax.jit(small)
         return small_fns[n]
 
@@ -1047,7 +1052,8 @@ def _solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
                      outer_iters=small_all.o_it,
                      inner_iters=small_all.inner_iters,
                      res_h=small_all.res_h, res_g=small_all.res_g,
-                     lbfgs_status=small_all.lb_status)
+                     lbfgs_status=small_all.lb_status,
+                     evals=small_all.evals)
 
 
 # ---------------------------------------------------------------------------

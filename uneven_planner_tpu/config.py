@@ -134,6 +134,9 @@ class ALMConfig:
     s_curv_coeff: float = 0.9
     cautious_factor: float = 1.0e-6
     machine_prec: float = 1.0e-16
+    # Noise-tolerant Armijo slack (see lbfgs.LBFGSParams.f_noise_rel);
+    # 0.0 keeps the reference's exact Lewis-Overton comparisons.
+    f_noise_rel: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

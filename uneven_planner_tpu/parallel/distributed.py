@@ -133,7 +133,7 @@ def plan_batch_global(mesh, shape, grid, cfg, lbfgs_overrides=None):
     bound_spec = jax.tree.map(lambda _: p, alm.Boundary(0, 0, 0, 0))
     res_spec = alm.ALMResult(x=p, traj=SE2Traj(p, p, p, p), converged=p,
                              outer_iters=p, inner_iters=p, res_h=p,
-                             res_g=p, lbfgs_status=p)
+                             res_g=p, lbfgs_status=p, evals=p)
     fn = shard_map(local, mesh=mesh, in_specs=(p, bound_spec),
                    out_specs=(res_spec, (P(), P())), check_rep=False)
     return jax.jit(fn)

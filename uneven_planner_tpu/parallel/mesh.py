@@ -87,4 +87,4 @@ def _result_spec(axis_name):
     p = P(axis_name)
     return alm.ALMResult(x=p, traj=SE2Traj(p, p, p, p), converged=p,
                          outer_iters=p, inner_iters=p, res_h=p, res_g=p,
-                         lbfgs_status=p)
+                         lbfgs_status=p, evals=p)

@@ -408,7 +408,8 @@ def lbfgs_params_from(cfg: ALMConfig) -> lbfgs.LBFGSParams:
         delta=cfg.delta, max_iterations=int(cfg.inner_max_iter),
         max_linesearch=cfg.max_linesearch, min_step=cfg.min_step,
         f_dec_coeff=cfg.f_dec_coeff, s_curv_coeff=cfg.s_curv_coeff,
-        cautious_factor=cfg.cautious_factor, machine_prec=cfg.machine_prec)
+        cautious_factor=cfg.cautious_factor, machine_prec=cfg.machine_prec,
+        f_noise_rel=cfg.f_noise_rel)
 
 
 def solve(x0, bound: Boundary, shape: ProblemShape,
@@ -634,7 +635,8 @@ def flat_step(s: _FlatState, bound: Boundary, scaling: Scaling,
         bad = ~jnp.isfinite(f_t) | ~jnp.all(jnp.isfinite(grad_t))
         early = (p.past > 0) & (jnp.abs(s.f - f_t) / (jnp.abs(s.f) + 1.0)
                                 < p.delta / npast)
-        armijo_fail = f_t > s.f + s.stp * s.dgtest
+        armijo_fail = f_t > s.f + s.stp * s.dgtest \
+            + p.f_noise_rel * (jnp.abs(s.f) + 1.0)
         dg = _dot(grad_t, s.d)
         wolfe_fail = dg < s.dstest
         accepted = ~rv & ~bad & (early | (~armijo_fail & ~wolfe_fail))

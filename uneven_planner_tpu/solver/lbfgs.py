@@ -53,6 +53,16 @@ class LBFGSParams:
     s_curv_coeff: float = 0.9
     cautious_factor: float = 1.0e-6
     machine_prec: float = 1.0e-16
+    # Noise-tolerant Armijo slack: accept f_t <= f + stp*dgtest +
+    # f_noise_rel*(|f|+1).  0.0 = exact Lewis-Overton (reference
+    # lbfgs.hpp:321 semantics).  Wide-batch compilations of the fused
+    # cost kernel evaluate with slightly different numerics than narrow
+    # ones (PLATFORM_NOTES §7); near convergence the sufficient-decrease
+    # margin shrinks below that noise and the bracketing search churns
+    # (~5 evals/accepted step at width 4096 vs 1.7 at width 64, e15/e16).
+    # A slack of a few f32 ulps restores narrow-width eval counts without
+    # touching the ALM convergence test (which stays exact).
+    f_noise_rel: float = 0.0
 
 
 class _LSState(NamedTuple):
@@ -89,7 +99,8 @@ def _line_search(fun, xp, fp, gp, d, stp0, p: LBFGSParams):
         # in-search past-delta accept (lbfgs.hpp:327-329)
         early = (p.past > 0) & (jnp.abs(fp - f) / (jnp.abs(fp) + 1.0)
                                 < p.delta / max(p.past, 1))
-        armijo_fail = f > fp + s.stp * dgtest
+        armijo_fail = f > fp + s.stp * dgtest \
+            + p.f_noise_rel * (jnp.abs(fp) + 1.0)
         wolfe_fail = _dot(g, d) < dstest
 
         accepted = ~bad_f & (early | (~armijo_fail & ~wolfe_fail))

@@ -65,7 +65,9 @@ def recheck16(xs, bounds):
     return jax.vmap(one)(xs, bounds)
 
 overrides = {"mem_size": 16, "max_iterations": 30}
-combos = [("pair", 16), ("pair", 8), ("packed", 16), ("packed", 8)]
+combos = [tuple(c.split("/")) for c in os.environ.get(
+    "E19_COMBOS", "pair/16,pair/8,packed/16,packed/8").split(",")]
+combos = [(t, int(k)) for t, k in combos]
 
 for tname, K in combos:
     g = grid_pair if tname == "pair" else grid_packed
@@ -83,14 +85,14 @@ for tname, K in combos:
     conv = np.asarray(res.converged)
     dt = time.time() - t0
     ev = np.asarray(res.evals)
+    print(f"{tname:>6} K={K:>2} wall={dt:6.1f}s solves/s={B/dt:7.1f} "
+          f"conv={conv.mean()*100:5.1f}% evals mean={ev.mean():6.1f} "
+          f"p95={np.percentile(ev, 95):6.0f}", flush=True)
     nh, gmax = recheck16(res.x, tb[1])
     nh = np.asarray(nh); gmax = np.asarray(gmax)
     # normalized violation: positive g row value / bound scale
     names = ["vel2", "alon2", "alat2", "kap2", "att", "sig"]
     viol = ", ".join(f"{n}={np.percentile(gmax[:, i], 99):+.1e}"
                      for i, n in enumerate(names))
-    print(f"{tname:>6} K={K:>2} wall={dt:6.1f}s solves/s={B/dt:7.1f} "
-          f"conv={conv.mean()*100:5.1f}% evals mean={ev.mean():6.1f} "
-          f"p95={np.percentile(ev, 95):6.0f}\n"
-          f"        K16-recheck: nonh p99={np.percentile(nh, 99):.2e} "
+    print(f"        K16-recheck: nonh p99={np.percentile(nh, 99):.2e} "
           f"{viol}", flush=True)

@@ -71,14 +71,49 @@ def test_full_pipeline_single_scenario():
     run = jax.jit(lambda s, g, gr: pipeline.plan_track_scenario(
         gr, scfg, s, g, shape, n_track_steps=400,
         lbfgs_overrides={"mem_size": 32, "max_iterations": 200},
-        max_sqp_iter=1))
+        max_sqp_iter=3))
     res = run(start, goal, grid)
     assert bool(res.plan_success), "front end failed"
     assert bool(res.alm_converged), "back end failed"
-    assert float(res.mean_track_err) < 0.12, \
+    # centimeter-level on the ideal plant (reference intent: mpc.cpp
+    # relinearizes to du_th=0.001 within a 10 ms budget; measured here
+    # mean 1.07 cm / final 1.21 cm, gates allow ~2x margin)
+    assert float(res.mean_track_err) < 0.02, \
         f"tracking error {float(res.mean_track_err)}"
-    assert float(res.final_track_err) < 0.08
+    assert float(res.final_track_err) < 0.025
     assert float(res.non_hol) < 1.0
+
+
+def test_full_pipeline_slip_plant():
+    """Same scenario against the slip/actuator-lag plant (the analytic
+    analog of the reference's Gazebo wheel-slip realism, README.md:86-89):
+    the tracker must stay centimeter-level on a plant that does not match
+    its internal kinematic model (measured mean 1.40 cm / final 1.60 cm)."""
+    from uneven_planner_tpu.sim.rollout import PlantParams
+
+    scfg = scene_config("hill")
+    scfg = dataclasses.replace(
+        scfg,
+        map=TEST_MAP,
+        frontend=dataclasses.replace(scfg.frontend, frontier_size=128,
+                                     max_rounds=60),
+        mpc=dataclasses.replace(scfg.mpc, qp_max_iter=800),
+    )
+    grid = make_synthetic_grid(TEST_MAP)
+    shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=16)
+    start = jnp.asarray([-3.0, -3.0, 0.0])
+    goal = jnp.asarray([0.0, -3.0, 0.0])
+    plant = PlantParams(slip_lon=0.05, slip_lat=0.02,
+                        v_tau=0.05, steer_tau=0.05)
+    run = jax.jit(lambda s, g, gr: pipeline.plan_track_scenario(
+        gr, scfg, s, g, shape, n_track_steps=400,
+        lbfgs_overrides={"mem_size": 32, "max_iterations": 200},
+        max_sqp_iter=3, plant_params=plant))
+    res = run(start, goal, grid)
+    assert bool(res.plan_success) and bool(res.alm_converged)
+    assert float(res.mean_track_err) < 0.03, \
+        f"slip-plant tracking error {float(res.mean_track_err)}"
+    assert float(res.final_track_err) < 0.03
 
 
 def test_forest_config_solve():

@@ -40,10 +40,18 @@ def plan_track_scenario(grid: tgrid.TerrainGrid, scfg: SceneConfig,
                         start, goal, shape: alm.ProblemShape,
                         n_track_steps: int = 500,
                         lbfgs_overrides=None,
-                        max_sqp_iter: int = 2,
-                        metric_samples: int = 1024) -> PipelineResult:
+                        max_sqp_iter: int = 3,
+                        metric_samples: int = 1024,
+                        plant_params=None) -> PipelineResult:
     """One full scenario: search -> optimize -> message round trip ->
-    closed-loop tracking.  vmap over (start, goal) for batches."""
+    closed-loop tracking.  vmap over (start, goal) for batches.
+
+    `max_sqp_iter` bounds the MPC relinearization loop (the reference
+    relinearizes until du < du_th or a 10 ms wall budget, up to 150
+    iterations, mpc.cpp:797-841; mpc_step's while_loop applies the same
+    du_th exit so extra iterations only cost when they help).
+    `plant_params` switches the tracking plant to the slip/actuator-lag
+    model (sim.rollout.PlantParams)."""
     kres = kino_init.plan(grid, scfg.frontend, start, goal)
 
     x0, bound = manager.init_guess_fixed_jax(
@@ -60,7 +68,8 @@ def plan_track_scenario(grid: tgrid.TerrainGrid, scfg: SceneConfig,
     start_state = jnp.stack([start[0], start[1], start[2]])
     tres = rollout.track_trajectory(traj, start_state, scfg.mpc,
                                     n_steps=n_track_steps,
-                                    max_sqp_iter=max_sqp_iter)
+                                    max_sqp_iter=max_sqp_iter,
+                                    plant_params=plant_params)
 
     nh = non_hol_error(ares.traj, num_samples=metric_samples)
     return PipelineResult(

@@ -75,7 +75,11 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "4096"))
     chunk_steps = int(os.environ.get("BENCH_CHUNK_STEPS", "128"))
     n_rep = int(os.environ.get("BENCH_REPS", "2"))
-    max_dispatch = int(os.environ.get("BENCH_DISPATCH", "4096"))
+    # dispatch width 2048: e17 (new eval accounting) measured line-search
+    # eval inflation of 2.9x at width 4096 vs 1.3x at 2048 and none at
+    # <=1024; 2048 wins end-to-end (184 vs 167 solves/s on the same
+    # 4096-lane workload, same session).
+    max_dispatch = int(os.environ.get("BENCH_DISPATCH", "2048"))
     cfg = scene_config("hill")
     # NOTE: the bf16-packed 2-item lookup (with_packed_table) halves gather
     # items but its ~0.2% field quantization noise breaks the Lewis-Overton
@@ -86,7 +90,11 @@ def main():
                                                   dtype=np.float32)))
 
     rng = np.random.default_rng(0)
-    shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=16)
+    # int_K=16 is the reference sample density (run_hill.yaml:53); the
+    # K=8 profile (~halves the dominant gather cost) is quality-gated by
+    # tests/test_alm.py::test_intk8_solution_passes_dense_recheck
+    shape = alm.ProblemShape(piece_xy=10, piece_yaw=20,
+                             int_K=int(os.environ.get("BENCH_INTK", "16")))
     # mem_size 16 measured ~20% fewer inner iterations than 8 at equal
     # convergence; per-outer-round inner cap 30
     overrides = {"mem_size": 16, "max_iterations": 30}
@@ -112,12 +120,138 @@ def main():
     solves_per_sec = B / dt
     sys.stderr.write(f"batch={B} time={dt*1e3:.1f}ms "
                      f"converged={conv.mean()*100:.1f}%\n")
-    print(json.dumps({
+    headline = {
         "metric": "minco_alm_solves_per_sec_per_chip_hill",
         "value": round(solves_per_sec, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / 10000.0, 4),
-    }))
+    }
+    # driver contract: exactly ONE JSON line on stdout — emitted BEFORE the
+    # (slow-to-compile) extra metrics so a timeout cannot lose the headline
+    print(json.dumps(headline), flush=True)
+
+    extra = []
+    if os.environ.get("BENCH_EXTRA", "1") != "0":
+        try:
+            extra = extra_metrics(cfg, grid, shape, rng)
+        except Exception as e:  # extra metrics must never break the headline
+            sys.stderr.write(f"extra metrics failed: {e!r}\n")
+    for m in extra:
+        sys.stderr.write(json.dumps(m) + "\n")
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        json.dump({"headline": headline, "extra": extra}, f, indent=1)
+
+
+def extra_metrics(cfg, grid, shape, rng):
+    """Frontend plans/s and end-to-end plan->track scenarios/s (VERDICT r2
+    items: the frontend and the pipeline had never been timed).  Reference
+    timing hooks: kino_astar.cpp:121-122 (frontend ms print) and
+    mpc.cpp:815 (per-tick wall budget).  Printed to stderr + BENCH_LOCAL
+    so the stdout contract (one line) holds."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from uneven_planner_tpu.frontend import kino_init
+    from uneven_planner_tpu.parallel import pipeline
+    from uneven_planner_tpu.solver import alm
+
+    out = []
+
+    # --- frontend: batched kinodynamic init plans/s ---------------------
+    Bf = int(os.environ.get("BENCH_FRONTEND_BATCH", "512"))
+    n_rep = int(os.environ.get("BENCH_REPS", "2"))
+
+    def scen_batch(n):
+        starts, goals = [], []
+        for _ in range(n):
+            ang = rng.uniform(-np.pi, np.pi)
+            s = rng.uniform(-3.5, -1.5, size=2)
+            g = np.clip(s + 2.5 * np.array([np.cos(ang), np.sin(ang)]),
+                        -4.0, 4.0)
+            yaw = np.arctan2(g[1] - s[1], g[0] - s[0])
+            starts.append([s[0], s[1], yaw])
+            goals.append([g[0], g[1], yaw])
+        return (jnp.asarray(np.asarray(starts, np.float32)),
+                jnp.asarray(np.asarray(goals, np.float32)))
+
+    fe = jax.jit(lambda g, s, go: jax.vmap(
+        lambda a, b: kino_init.plan(g, cfg.frontend, a, b))(s, go))
+    batches = [scen_batch(Bf) for _ in range(n_rep + 1)]
+    succ = np.asarray(fe(grid, *batches[0]).success)  # warmup/compile
+    times = []
+    for i in range(1, n_rep + 1):
+        t0 = time.time()
+        succ = np.asarray(fe(grid, *batches[i]).success)
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    sys.stderr.write(f"frontend batch={Bf} time={dt*1e3:.1f}ms "
+                     f"success={succ.mean()*100:.1f}%\n")
+    out.append({"metric": "frontend_plans_per_sec_per_chip_hill",
+                "value": round(Bf / dt, 2), "unit": "plans/s",
+                "success_rate": round(float(succ.mean()), 4)})
+
+    # --- end-to-end plan->optimize->track scenarios/s -------------------
+    Bp = int(os.environ.get("BENCH_PIPELINE_BATCH", "64"))
+    shp = alm.ProblemShape(shape.piece_xy, shape.piece_yaw, shape.int_K)
+    pl = jax.jit(lambda g, s, go: pipeline.plan_track_batch(
+        g, cfg, s, go, shp, n_track_steps=500,
+        lbfgs_overrides={"mem_size": 16, "max_iterations": 250}))
+    batches = [scen_batch(Bp) for _ in range(n_rep + 1)]
+    res = jax.tree.map(np.asarray, pl(grid, *batches[0]))  # warmup
+    times = []
+    for i in range(1, n_rep + 1):
+        t0 = time.time()
+        res = jax.tree.map(np.asarray, pl(grid, *batches[i]))
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    ok = res.plan_success & res.alm_converged
+    err = float(res.mean_track_err[ok].mean()) if ok.any() else None
+    sys.stderr.write(
+        f"pipeline batch={Bp} time={dt*1e3:.1f}ms ok={ok.mean()*100:.1f}% "
+        f"track_err={err}\n")
+    out.append({"metric": "plan_track_scenarios_per_sec_per_chip_hill",
+                "value": round(Bp / dt, 2), "unit": "scenarios/s",
+                "success_rate": round(float(ok.mean()), 4),
+                "mean_track_err_m": err})
+
+    # --- MPC ticks/s on the figure-eight controller-isolation task ------
+    # (reference: 100 Hz timer budget, mpc.cpp:50,815; figure-eight
+    # isolation traj, traj_anal.hpp:447-483)
+    from uneven_planner_tpu.mpc import traj_msg
+    from uneven_planner_tpu.sim import rollout
+
+    Bm = int(os.environ.get("BENCH_MPC_BATCH", "256"))
+    n_steps = 256
+    f8 = traj_msg.figure_eight(cfg.alm.max_vel, dtype=jnp.float32)
+    tr = jax.jit(lambda s0: jax.vmap(lambda s: rollout.track_trajectory(
+        f8, s, cfg.mpc, n_steps=n_steps, max_sqp_iter=3))(s0))
+
+    def mpc_batch(n):
+        s0 = np.zeros((n, 3), np.float32)
+        s0[:, 0] = rng.uniform(-0.05, 0.05, size=n)
+        s0[:, 1] = rng.uniform(-0.05, 0.05, size=n)
+        s0[:, 2] = np.pi / 4 + rng.uniform(-0.1, 0.1, size=n)
+        return jnp.asarray(s0)
+
+    batches = [mpc_batch(Bm) for _ in range(n_rep + 1)]
+    tres = jax.tree.map(np.asarray, tr(batches[0]))  # warmup
+    times = []
+    for i in range(1, n_rep + 1):
+        t0 = time.time()
+        tres = jax.tree.map(np.asarray, tr(batches[i]))
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
+    ticks = Bm * n_steps / dt
+    merr = float(np.asarray(tres.mean_err).mean())
+    sys.stderr.write(f"mpc batch={Bm} steps={n_steps} time={dt*1e3:.1f}ms "
+                     f"ticks/s={ticks:.0f} track_err={merr:.4f}\n")
+    out.append({"metric": "mpc_ticks_per_sec_per_chip_fig8",
+                "value": round(ticks, 1), "unit": "ticks/s",
+                "mean_track_err_m": round(merr, 4)})
+    return out
 
 
 if __name__ == "__main__":

@@ -68,6 +68,35 @@ def test_constraints_satisfied(solved, grid):
     assert float(m["max_sig"]) <= cfg.max_sig * tol + 1e-3
 
 
+def test_intk8_solution_passes_dense_recheck(grid):
+    """int_K=16 -> 8 halves the solver's dominant cost (terrain gather
+    items/eval scale with int_K+1; run_hill.yaml:53 exposes int_K as a
+    tunable).  Quality gate: a K=8-optimized solution must still pass the
+    reference post-solve report on a DENSE (2048-point) sample grid — the
+    inter-sample violations K=8 cannot see must stay inside the bounds.
+    TPU-side throughput for this setting is recorded in e19/PLATFORM
+    notes; this test pins the accuracy half on every run."""
+    path = _straight_path((-3.0, -3.0), (0.0, -3.0))
+    x0, bound, shape16 = manager.init_guess_from_path(path, ManagerConfig())
+    shape8 = alm.ProblemShape(shape16.piece_xy, shape16.piece_yaw, int_K=8)
+    cfg = ALMConfig()
+    bound = jax.tree.map(jnp.asarray, bound)
+    res = jax.jit(lambda x, b: alm.solve(x, b, shape8, grid, cfg,
+                                         lbfgs_overrides=LB_OVR))(
+        jnp.asarray(x0), bound)
+    assert bool(res.converged)
+    m = jax.jit(lambda tr: max_metrics(tr, grid, num_samples=2048))(res.traj)
+    tol = 1.05
+    assert float(m["max_vx"]) <= cfg.max_vel * tol + 0.05
+    assert float(m["max_ax"]) <= cfg.max_acc_lon * tol
+    assert float(m["max_ay"]) <= cfg.max_acc_lat * tol
+    assert float(m["max_cur"]) <= cfg.max_kap * tol + 0.1
+    assert float(m["min_cxi"]) >= cfg.min_cxi / tol
+    assert float(m["max_sig"]) <= cfg.max_sig * tol + 1e-3
+    err = float(jax.jit(lambda tr: non_hol_error(tr, 2048))(res.traj))
+    assert err < 0.5, f"non-holonomic error too large at K=8: {err}"
+
+
 def test_nonholonomic_error_small(solved):
     res, _, _ = solved
     err = float(jax.jit(lambda tr: non_hol_error(tr, 2048))(res.traj))

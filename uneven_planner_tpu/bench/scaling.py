@@ -70,10 +70,16 @@ if pid == 0:
 """
 
 
-def run_multiprocess(nprocs: int, local_devices: int, b_local: int):
+def run_multiprocess(nprocs: int, local_devices: int, b_local: int,
+                     out_path: str | None = None):
     """Fork nprocs CPU workers; each runs the distributed solve over the
     global (nprocs x local_devices) mesh.  Prints per-config rate; scaling
-    efficiency = rate(n) / (n * rate(1))."""
+    efficiency = rate(n) / (n * rate(1)).  With `out_path`, writes the
+    sweep as a JSON artifact (committed evidence for the multi-host
+    runtime; absolute rates on virtual CPU devices are only meaningful
+    relative to each other)."""
+    import json
+
     from uneven_planner_tpu.parallel import distributed as dist
 
     rates = {}
@@ -91,10 +97,23 @@ def run_multiprocess(nprocs: int, local_devices: int, b_local: int):
                 if line.startswith("MPBENCH"):
                     print(line)
                     rates[n] = float(line.split("solves/s=")[1].split()[0])
+    points = []
     if 1 in rates:
         for n, r in sorted(rates.items()):
             eff = r / (rates[1] * n)
             print(f"procs={n} efficiency={eff * 100:.1f}%")
+            points.append({"procs": n, "local_devices": local_devices,
+                           "batch": b_local * n,
+                           "solves_per_sec": round(r, 2),
+                           "efficiency": round(eff, 4)})
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({"kind": "multiprocess_scaling_sweep",
+                       "backend": "cpu-virtual",
+                       "note": "jax.distributed N-process sweep on one box;"
+                               " efficiency is relative (DCN-topology"
+                               " functional evidence, not chip perf)",
+                       "points": points}, f, indent=1)
 
 
 def main():
@@ -112,11 +131,13 @@ def main():
                     help="virtual devices per process in --multiprocess")
     ap.add_argument("--local-batch", type=int, default=16,
                     help="scenarios per process in --multiprocess")
+    ap.add_argument("--out", default=None,
+                    help="write the sweep as a JSON artifact")
     args = ap.parse_args()
 
     if args.multiprocess:
         run_multiprocess(args.multiprocess, args.local_devices,
-                         args.local_batch)
+                         args.local_batch, out_path=args.out)
         return
 
     import jax

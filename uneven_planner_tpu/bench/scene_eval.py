@@ -1,0 +1,191 @@
+"""Per-scene evaluation on the real reference maps at full resolution.
+
+For each reference scene PCD (desert / forest / mountain / vocano, built at
+the reference's 0.05 m / 0.1 rad resolution — run_hill.yaml:3-10), samples
+free-space start/goal scenarios and runs the full plan->optimize->track
+pipeline batched on device, reporting per scene:
+
+  - frontend success rate (batched kinodynamic init vs occupancy),
+  - ALM convergence rate + the reference's 6-metric post-solve report
+    (max |vx|, |ax|, |ay|, |kappa|, min cos_xi, max sigma —
+    ALMTrajOpt::getMaxVxAxAyCurAttSig, alm_traj_opt.h:170-229) on
+    converged lanes,
+  - closed-loop mean/final tracking error (ideal plant).
+
+This is the committed-evidence harness for the reference's per-scene
+acceptance flow (plan_manager.cpp:141-148 prints the same metrics after
+every solve; here they become a recorded artifact).
+
+Usage: python -m uneven_planner_tpu.bench.scene_eval
+         [--scenes desert forest ...] [--batch 64] [--out SCENES.json]
+Writes one JSON object per scene (and an aggregate) to --out and stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def sample_free_scenarios(occ_xy: np.ndarray, map_cfg, B: int, rng,
+                          d_min: float = 1.5, d_max: float = 3.0,
+                          margin_cells: int = 2):
+    """Rejection-sample B (start, goal) SE(2) pairs whose endpoints are
+    free in the 2D occupancy projection (the reference aborts on occupied
+    start/goal, kino_astar.cpp:86-95).  Yaw faces the goal, matching the
+    manager's tangential init (plan_manager.cpp:86-94)."""
+    nx, ny = occ_xy.shape
+    res = map_cfg.xy_resolution
+    ox, oy, _ = map_cfg.map_origin
+    # erode the free mask so endpoints keep a margin from obstacles;
+    # relax the margin if a strict scene (forest: max_rho=0.001) leaves
+    # too little eroded free space
+    free = ~occ_xy
+    for m in range(margin_cells, -1, -1):
+        er = free.copy()
+        for _ in range(m):
+            f = er.copy()
+            f[1:, :] &= er[:-1, :]
+            f[:-1, :] &= er[1:, :]
+            f[:, 1:] &= er[:, :-1]
+            f[:, :-1] &= er[:, 1:]
+            er = f
+        if er.sum() >= max(64, 4 * B):
+            break
+    free = er
+    ii, jj = np.nonzero(free)
+    if ii.size < 2:
+        raise RuntimeError("no free space to sample scenarios from")
+    xs = ox + (ii + 0.5) * res
+    ys = oy + (jj + 0.5) * res
+    pts = np.stack([xs, ys], axis=1)
+    # keep away from the map border so the planner has room
+    inner = (np.abs(pts) < 4.2).all(axis=1)
+    pts = pts[inner] if inner.sum() >= 2 else pts
+
+    starts, goals = [], []
+    attempts = 0
+    while len(starts) < B:
+        attempts += 1
+        if attempts > 200000:
+            raise RuntimeError(
+                f"scenario sampling stalled at {len(starts)}/{B}")
+        if attempts % 20000 == 0:
+            d_min = max(0.5, 0.8 * d_min)  # relax on cluttered scenes
+        a = pts[rng.integers(len(pts))]
+        ang = rng.uniform(-np.pi, np.pi)
+        d = rng.uniform(d_min, d_max)
+        g = a + d * np.array([np.cos(ang), np.sin(ang)])
+        gi = int((g[0] - ox) / res)
+        gj = int((g[1] - oy) / res)
+        if not (0 <= gi < nx and 0 <= gj < ny) or not free[gi, gj]:
+            continue
+        if np.abs(g).max() > 4.2:
+            continue
+        yaw = np.arctan2(g[1] - a[1], g[0] - a[0])
+        starts.append([a[0], a[1], yaw])
+        goals.append([g[0], g[1], yaw])
+    return (np.asarray(starts, np.float32), np.asarray(goals, np.float32))
+
+
+def run_scene(name: str, B: int = 64, cache_dir: str = "data",
+              n_track_steps: int = 500, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    from uneven_planner_tpu import api
+    from uneven_planner_tpu.minco.traj import max_metrics
+    from uneven_planner_tpu.parallel import pipeline
+    from uneven_planner_tpu.solver import alm
+    from uneven_planner_tpu.terrain import grid as tgrid
+
+    scfg, grid = api.load_or_build_scene(name, cache_dir=cache_dir)
+    grid = tgrid.with_pair_table(grid)
+    rng = np.random.default_rng(seed)
+    starts, goals = sample_free_scenarios(
+        np.asarray(grid.occ_xy), scfg.map, B, rng)
+    shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=16)
+
+    run = jax.jit(lambda g, s, go: pipeline.plan_track_batch(
+        g, scfg, s, go, shape,
+        n_track_steps=n_track_steps,
+        lbfgs_overrides={"mem_size": 16, "max_iterations": 250}))
+    metrics_fn = jax.jit(lambda g, tr: jax.vmap(
+        lambda t: max_metrics(t, g, num_samples=1024))(tr))
+
+    t0 = time.time()
+    res = run(grid, jnp.asarray(starts), jnp.asarray(goals))
+    res = jax.tree.map(np.asarray, res)
+    wall = time.time() - t0
+
+    ok = res.plan_success & res.alm_converged
+    # 6-metric report on planned lanes (converged optimizer output)
+    kres, ares = api.plan_batch(grid, scfg, jnp.asarray(starts),
+                                jnp.asarray(goals))
+    mm = np.asarray(metrics_fn(grid, ares.traj))
+    conv = np.asarray(ares.converged)
+    a = scfg.alm
+
+    def _agg(col, lo=False):
+        vals = mm[conv, col]
+        if vals.size == 0:
+            return None
+        return float(vals.min() if lo else vals.max())
+
+    report = {
+        "scene": name,
+        "batch": B,
+        "wall_s": round(wall, 2),
+        "frontend_success_rate": float(res.plan_success.mean()),
+        "alm_convergence_rate": float(conv.mean()),
+        "pipeline_success_rate": float(ok.mean()),
+        "mean_track_err_m": float(res.mean_track_err[ok].mean())
+        if ok.any() else None,
+        "final_track_err_m": float(res.final_track_err[ok].mean())
+        if ok.any() else None,
+        "max_non_hol": float(np.abs(res.non_hol[ok]).max())
+        if ok.any() else None,
+        # worst-case constraint report over converged lanes vs bounds
+        "metrics": {
+            "max_vx": _agg(0), "bound_vx": a.max_vel,
+            "max_ax": _agg(1), "bound_ax": a.max_acc_lon,
+            "max_ay": _agg(2), "bound_ay": a.max_acc_lat,
+            "max_kap": _agg(3), "bound_kap": a.max_kap,
+            "min_cxi": _agg(4, lo=True), "bound_cxi": a.min_cxi,
+            "max_sig": _agg(5), "bound_sig": a.max_sig,
+        },
+    }
+    return report
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", nargs="+",
+                    default=["desert", "forest", "mountain", "vocano"])
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--track-steps", type=int, default=500)
+    ap.add_argument("--cache-dir", default="data")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+    reports = []
+    for scene in args.scenes:
+        rep = run_scene(scene, B=args.batch, cache_dir=args.cache_dir,
+                        n_track_steps=args.track_steps)
+        print(json.dumps(rep), flush=True)
+        reports.append(rep)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"scenes": reports}, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,7 +51,11 @@ def linearize(theta, vx, delta, cfg: MPCConfig):
             [dt * td / cfg.wheel_base,
              dt * vx / (cfg.wheel_base * cd2)],
         ])
-    A = jnp.eye(3).at[0, 2].set(-B[1, 0] * vx).at[1, 2].set(B[0, 0] * vx)
+    # eye dtype must follow the inputs: under jax_enable_x64 a default f64
+    # eye would silently promote A (and the dynamics rows assembled from
+    # it) above an f32 QP's dtype, tripping scatter dtype-promotion errors
+    A = jnp.eye(3, dtype=B.dtype).at[0, 2].set(-B[1, 0] * vx) \
+        .at[1, 2].set(B[0, 0] * vx)
     C = jnp.array([-A[0, 2] * theta, -A[1, 2] * theta,
                    (-B[2, 1] * delta) if cfg.model_type == ACKER else 0.0])
     return A, B, C

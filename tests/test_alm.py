@@ -424,3 +424,68 @@ def test_solve_flat_split_packed_matches_exact_population(grid):
     # under the exact-path constraint evaluation (modulo the 4e-6 noise)
     viol = res_exact[cs] > cfg.epsilon_con * 1.05
     assert viol.mean() < 0.05, res_exact[cs].max()
+
+
+def test_compacted_return_and_warm_duals(grid):
+    """solve_flat_compacted(return_duals=True) harvests per-lane final
+    multipliers; feeding them back (the population warm-start the bench
+    uses) must converge every lane in no more evals than the cold solve."""
+    rng = np.random.default_rng(7)
+    cfg = ALMConfig()
+    shape = alm.ProblemShape(6, 12, 8)
+    xs, bs = [], []
+    for i in range(6):
+        s0 = np.array([-3.4 + 0.25 * i, -3.0])
+        g0 = s0 + np.array([1.5, 0.3 * (i % 3)])
+        yaw = np.arctan2(g0[1] - s0[1], g0[0] - s0[0])
+        t = np.linspace(0, 1, 12)[:, None]
+        p = np.concatenate([(1 - t) * s0 + t * g0, np.full((12, 1), yaw)],
+                           axis=1)
+        xi, bi = manager.init_guess_fixed(p, ManagerConfig(), 6, 12)
+        xs.append(xi); bs.append(bi)
+    xs = jnp.asarray(np.stack(xs))
+    bs = jax.tree.map(lambda *a: jnp.asarray(np.stack(a)), *bs)
+    ovr = {"mem_size": 8, "max_iterations": 40}
+    cold = alm.solve_flat_compacted(xs, bs, shape, grid, cfg,
+                                    lbfgs_overrides=ovr, chunk_steps=64,
+                                    buckets=(1, 2), return_duals=True)
+    assert cold.duals is not None
+    E, I = shape.equal_num, shape.non_equal_num
+    assert cold.duals.lam.shape == (6, E)
+    assert cold.duals.mu.shape == (6, I)
+    assert cold.duals.rho.shape == (6,)
+    assert np.asarray(cold.converged).all()
+
+    # population-average warm start (what bench.py does): single DualState
+    # broadcast over the batch
+    conv = np.asarray(cold.converged)
+    warm = alm.DualState(
+        lam=jnp.asarray(np.asarray(cold.duals.lam)[conv].mean(0)),
+        mu=jnp.asarray(np.asarray(cold.duals.mu)[conv].mean(0)),
+        rho=jnp.asarray(float(np.median(np.asarray(cold.duals.rho)[conv]))))
+    warm_res = alm.solve_flat_compacted(xs, bs, shape, grid, cfg,
+                                        lbfgs_overrides=ovr, chunk_steps=64,
+                                        buckets=(1, 2), warm_duals=warm)
+    assert np.asarray(warm_res.converged).all()
+    # warm-started residuals still honest (exact recheck)
+    assert float(np.asarray(warm_res.res_h).max()) < cfg.epsilon_con
+
+
+def test_flat_solver_two_loop_unroll(grid):
+    """The unrolled two-loop (production bench knob) must converge the
+    same lanes to the same residual level as the fori path."""
+    path = _straight_path((-3.0, -3.0), (-1.0, -2.5))
+    x0, bound, shape = manager.init_guess_from_path(path, ManagerConfig())
+    cfg = ALMConfig()
+    bound = jax.tree.map(jnp.asarray, bound)
+    base = dict(LB_OVR)
+    r0 = jax.jit(lambda x, b, g: alm.solve_flat(
+        x, b, shape, g, cfg, lbfgs_overrides=base))(
+        jnp.asarray(x0), bound, grid)
+    r1 = jax.jit(lambda x, b, g: alm.solve_flat(
+        x, b, shape, g, cfg,
+        lbfgs_overrides={**base, "two_loop_unroll": True}))(
+        jnp.asarray(x0), bound, grid)
+    assert bool(r0.converged) and bool(r1.converged)
+    assert float(r1.res_h) < cfg.epsilon_con
+    assert float(r1.res_g) < cfg.epsilon_con

@@ -68,3 +68,28 @@ def test_max_iterations_status():
         jnp.asarray(np.full(6, -1.2)))
     assert int(res.status) == lbfgs.MAXITER
     assert int(res.iters) == 3
+
+
+def test_two_loop_unroll_matches_fori():
+    """two_loop_unroll traces the identical op sequence; directions must
+    match the fori_loop path to f32 reassociation noise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uneven_planner_tpu.solver import lbfgs
+
+    rng = np.random.default_rng(0)
+    m, n = 16, 66
+    g = jnp.asarray(rng.normal(size=n), jnp.float32)
+    S = jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    Y = S + 0.1 * jnp.asarray(rng.normal(size=(m, n)), jnp.float32)
+    YS = jnp.einsum("ij,ij->i", S, Y)
+    f0 = jax.jit(lambda *a: lbfgs._two_loop(*a, m, unroll=False))
+    f1 = jax.jit(lambda *a: lbfgs._two_loop(*a, m, unroll=True))
+    for end, bound in ((3, 3), (0, 16), (7, 16), (5, 0), (15, 7)):
+        args = (g, S, Y, YS, jnp.asarray(end), jnp.asarray(bound),
+                YS[end - 1], jnp.sum(Y[end - 1] ** 2))
+        np.testing.assert_allclose(np.asarray(f0(*args)),
+                                   np.asarray(f1(*args)),
+                                   rtol=2e-5, atol=2e-6)

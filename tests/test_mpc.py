@@ -282,3 +282,28 @@ def test_mpc_golden_control_sequence_parity_f64():
         t_now += 0.01
 
     assert worst < 1e-3, f"max control-sequence error {worst:.2e}"
+
+
+def test_pure_jax_cholesky_matches_lapack():
+    """_chol_upper_jax (the TPU path that avoids the crashing batched
+    Cholesky custom-call) must match LAPACK's factor."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uneven_planner_tpu.solver import admm_qp
+
+    rng = np.random.default_rng(0)
+    for n in (5, 31, 150):
+        A1 = rng.normal(size=(n, n)).astype(np.float64)
+        M = A1 @ A1.T + n * np.eye(n)
+        U = np.asarray(jax.jit(admm_qp._chol_upper_jax)(jnp.asarray(M)))
+        np.testing.assert_allclose(U.T @ U, M, rtol=1e-10, atol=1e-8)
+        assert np.allclose(U, np.triu(U))
+    # batched under vmap
+    Ms = np.stack([a @ a.T + 10 * np.eye(12)
+                   for a in rng.normal(size=(4, 12, 12))])
+    Us = np.asarray(jax.jit(jax.vmap(admm_qp._chol_upper_jax))(
+        jnp.asarray(Ms)))
+    for M, U in zip(Ms, Us):
+        np.testing.assert_allclose(U.T @ U, M, rtol=1e-10, atol=1e-8)

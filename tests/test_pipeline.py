@@ -162,3 +162,36 @@ def test_api_plan():
                                          "max_iterations": 150}))(
         jnp.asarray([-3.0, -3.0, 0.0]), jnp.asarray([0.0, -3.0, 0.0]), grid)
     assert bool(kres.success) and bool(ares.converged)
+
+
+def test_chunked_pipeline_matches_fused():
+    """The two-phase TPU path (jitted plan+solve then host-chunked
+    tracking) must reproduce the fused single-jit pipeline."""
+    scfg = scene_config("hill")
+    scfg = dataclasses.replace(
+        scfg,
+        map=TEST_MAP,
+        frontend=dataclasses.replace(scfg.frontend, frontier_size=128,
+                                     max_rounds=60),
+    )
+    grid = make_synthetic_grid(TEST_MAP)
+    shape = alm.ProblemShape(6, 12, 8)
+    starts = jnp.asarray([[-3.0, -3.0, 0.0], [-3.2, -2.5, 0.3]])
+    goals = jnp.asarray([[-1.5, -3.0, 0.0], [-1.8, -2.2, 0.3]])
+    ovr = {"mem_size": 8, "max_iterations": 250}
+    fused = jax.jit(lambda s, g: pipeline.plan_track_batch(
+        grid, scfg, s, g, shape, n_track_steps=50,
+        lbfgs_overrides=ovr))(starts, goals)
+    chunked = pipeline.plan_track_batch_chunked(
+        grid, scfg, starts, goals, shape, n_track_steps=50,
+        lbfgs_overrides=ovr, chunk_ticks=16)
+    np.testing.assert_array_equal(np.asarray(fused.plan_success),
+                                  np.asarray(chunked.plan_success))
+    np.testing.assert_array_equal(np.asarray(fused.alm_converged),
+                                  np.asarray(chunked.alm_converged))
+    np.testing.assert_allclose(np.asarray(fused.mean_track_err),
+                               np.asarray(chunked.mean_track_err),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(fused.final_track_err),
+                               np.asarray(chunked.final_track_err),
+                               rtol=1e-5, atol=1e-6)

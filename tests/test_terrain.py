@@ -209,3 +209,37 @@ def test_mesh_to_cloud_roundtrip(tmp_path):
     back = read_pcd(str(pcd))
     assert back.shape == pts.shape
     np.testing.assert_allclose(back, pts, atol=1e-5)
+
+
+def test_sigma_cm_and_occ_batch_match_scalar(grid):
+    """Channel-major sigma / occupancy batch lookups (the front end's hot
+    path after the round-3 OOM fix) must match the scalar reference paths
+    on all three table variants (raw / pair / packed)."""
+    poses = _sample_poses(48, seed=3)
+    px, py, yaw = poses[:, 0], poses[:, 1], tgrid.normalize_so2(poses[:, 2])
+    g32 = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+                       if a.dtype == jnp.float64 else a, grid)
+    want = np.asarray(jax.vmap(
+        lambda p: tgrid.terrain_sigma(g32, p))(poses.astype(jnp.float32)))
+
+    raw = np.asarray(tgrid.terrain_sigma_cm(
+        g32, px.astype(jnp.float32), py.astype(jnp.float32),
+        yaw.astype(jnp.float32)))
+    np.testing.assert_allclose(raw, want, rtol=1e-5, atol=1e-6)
+
+    gp = tgrid.with_pair_table(g32)
+    pair = np.asarray(tgrid.terrain_sigma_cm(
+        gp, px.astype(jnp.float32), py.astype(jnp.float32),
+        yaw.astype(jnp.float32)))
+    np.testing.assert_allclose(pair, want, rtol=1e-5, atol=1e-6)
+
+    gk = tgrid.with_packed_table(g32)
+    packed = np.asarray(tgrid.terrain_sigma_cm(
+        gk, px.astype(jnp.float32), py.astype(jnp.float32),
+        yaw.astype(jnp.float32)))
+    np.testing.assert_allclose(packed, want, rtol=1e-3, atol=1e-5)
+
+    occ_scalar = np.asarray(jax.vmap(
+        lambda p: tgrid.is_occupancy_xy(g32, p[:2]))(poses))
+    occ_batch = np.asarray(tgrid.is_occupancy_xy_batch(g32, px, py))
+    np.testing.assert_array_equal(occ_batch, occ_scalar)

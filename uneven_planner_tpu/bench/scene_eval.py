@@ -5,6 +5,8 @@ the reference's 0.05 m / 0.1 rad resolution — run_hill.yaml:3-10), samples
 free-space start/goal scenarios and runs the full plan->optimize->track
 pipeline batched on device, reporting per scene:
 
+  - terrain-map construction wall time + plane fits/s (BASELINE config 4;
+    uneven_map.cpp:317-398) when the map is built fresh (cache miss),
   - frontend success rate (batched kinodynamic init vs occupancy),
   - ALM convergence rate + the reference's 6-metric post-solve report
     (max |vx|, |ax|, |ay|, |kappa|, min cos_xi, max sigma —
@@ -25,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -32,14 +35,20 @@ import numpy as np
 
 def sample_free_scenarios(occ_xy: np.ndarray, map_cfg, B: int, rng,
                           d_min: float = 1.5, d_max: float = 3.0,
-                          margin_cells: int = 2):
+                          margin_cells: int = 2,
+                          border_margin: float = 0.8):
     """Rejection-sample B (start, goal) SE(2) pairs whose endpoints are
     free in the 2D occupancy projection (the reference aborts on occupied
     start/goal, kino_astar.cpp:86-95).  Yaw faces the goal, matching the
-    manager's tangential init (plan_manager.cpp:86-94)."""
+    manager's tangential init (plan_manager.cpp:86-94).  The endpoint keep-
+    out from the map border is derived from the map geometry
+    (origin + shape * resolution), not hardcoded."""
     nx, ny = occ_xy.shape
     res = map_cfg.xy_resolution
     ox, oy, _ = map_cfg.map_origin
+    lo = np.array([ox + border_margin, oy + border_margin])
+    hi = np.array([ox + nx * res - border_margin,
+                   oy + ny * res - border_margin])
     # erode the free mask so endpoints keep a margin from obstacles;
     # relax the margin if a strict scene (forest: max_rho=0.001) leaves
     # too little eroded free space
@@ -63,7 +72,7 @@ def sample_free_scenarios(occ_xy: np.ndarray, map_cfg, B: int, rng,
     ys = oy + (jj + 0.5) * res
     pts = np.stack([xs, ys], axis=1)
     # keep away from the map border so the planner has room
-    inner = (np.abs(pts) < 4.2).all(axis=1)
+    inner = ((pts > lo) & (pts < hi)).all(axis=1)
     pts = pts[inner] if inner.sum() >= 2 else pts
 
     starts, goals = [], []
@@ -83,7 +92,7 @@ def sample_free_scenarios(occ_xy: np.ndarray, map_cfg, B: int, rng,
         gj = int((g[1] - oy) / res)
         if not (0 <= gi < nx and 0 <= gj < ny) or not free[gi, gj]:
             continue
-        if np.abs(g).max() > 4.2:
+        if (g < lo).any() or (g > hi).any():
             continue
         yaw = np.arctan2(g[1] - a[1], g[0] - a[0])
         starts.append([a[0], a[1], yaw])
@@ -92,7 +101,8 @@ def sample_free_scenarios(occ_xy: np.ndarray, map_cfg, B: int, rng,
 
 
 def run_scene(name: str, B: int = 64, cache_dir: str = "data",
-              n_track_steps: int = 500, seed: int = 0):
+              n_track_steps: int = 500, seed: int = 0,
+              lbfgs_overrides: dict | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -102,17 +112,26 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
     from uneven_planner_tpu.solver import alm
     from uneven_planner_tpu.terrain import grid as tgrid
 
+    ovr = lbfgs_overrides or {"mem_size": 16, "max_iterations": 250}
+    cached = name == "hill" or os.path.exists(
+        os.path.join(cache_dir, f"{name}.npz"))
+    t_map = time.time()
     scfg, grid = api.load_or_build_scene(name, cache_dir=cache_dir)
+    map_build_s = time.time() - t_map
+    nx, ny, nyaw = grid.voxel_num
+    n_fits = nx * ny * nyaw * scfg.map.iter_num
     grid = tgrid.with_pair_table(grid)
     rng = np.random.default_rng(seed)
     starts, goals = sample_free_scenarios(
         np.asarray(grid.occ_xy), scfg.map, B, rng)
     shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=16)
 
-    run = jax.jit(lambda g, s, go: pipeline.plan_track_batch(
+    # two-phase orchestrator (jitted plan+solve, host-chunked tracking):
+    # the fused vmapped rollout crashes this TPU's worker at batch x ticks
+    # beyond ~(8 x 50) — see sim/rollout.track_trajectory_batched
+    run = lambda g, s, go: pipeline.plan_track_batch_chunked(
         g, scfg, s, go, shape,
-        n_track_steps=n_track_steps,
-        lbfgs_overrides={"mem_size": 16, "max_iterations": 250}))
+        n_track_steps=n_track_steps, lbfgs_overrides=ovr)
     metrics_fn = jax.jit(lambda g, tr: jax.vmap(
         lambda t: max_metrics(t, g, num_samples=1024))(tr))
 
@@ -122,15 +141,17 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
     wall = time.time() - t0
 
     ok = res.plan_success & res.alm_converged
-    # 6-metric report on planned lanes (converged optimizer output)
+    # 6-metric report on planned lanes: same solver config as the pipeline
+    # run (a metrics report from a different config would be a different
+    # optimizer's trajectories)
     kres, ares = api.plan_batch(grid, scfg, jnp.asarray(starts),
-                                jnp.asarray(goals))
-    mm = np.asarray(metrics_fn(grid, ares.traj))
+                                jnp.asarray(goals), lbfgs_overrides=ovr)
+    mm = jax.tree.map(np.asarray, metrics_fn(grid, ares.traj))
     conv = np.asarray(ares.converged)
     a = scfg.alm
 
-    def _agg(col, lo=False):
-        vals = mm[conv, col]
+    def _agg(key, lo=False):
+        vals = mm[key][conv]
         if vals.size == 0:
             return None
         return float(vals.min() if lo else vals.max())
@@ -138,6 +159,11 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
     report = {
         "scene": name,
         "batch": B,
+        "map_cells": [int(nx), int(ny), int(nyaw)],
+        "map_cached": bool(cached),
+        "map_build_s": round(map_build_s, 2),
+        "map_fits_per_sec": (round(n_fits / map_build_s, 1)
+                             if not cached else None),
         "wall_s": round(wall, 2),
         "frontend_success_rate": float(res.plan_success.mean()),
         "alm_convergence_rate": float(conv.mean()),
@@ -150,12 +176,12 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
         if ok.any() else None,
         # worst-case constraint report over converged lanes vs bounds
         "metrics": {
-            "max_vx": _agg(0), "bound_vx": a.max_vel,
-            "max_ax": _agg(1), "bound_ax": a.max_acc_lon,
-            "max_ay": _agg(2), "bound_ay": a.max_acc_lat,
-            "max_kap": _agg(3), "bound_kap": a.max_kap,
-            "min_cxi": _agg(4, lo=True), "bound_cxi": a.min_cxi,
-            "max_sig": _agg(5), "bound_sig": a.max_sig,
+            "max_vx": _agg("max_vx"), "bound_vx": a.max_vel,
+            "max_ax": _agg("max_ax"), "bound_ax": a.max_acc_lon,
+            "max_ay": _agg("max_ay"), "bound_ay": a.max_acc_lat,
+            "max_kap": _agg("max_cur"), "bound_kap": a.max_kap,
+            "min_cxi": _agg("min_cxi", lo=True), "bound_cxi": a.min_cxi,
+            "max_sig": _agg("max_sig"), "bound_sig": a.max_sig,
         },
     }
     return report

@@ -185,6 +185,19 @@ class MPCConfig:
     # the reference's OSQP run leaves polish at its default (off), and each
     # polish costs an extra dense KKT factorization per relinearization.
     qp_polish: bool = False
+    # Fixed ADMM trip count for QP solves nested inside the tracking scan
+    # (solver/admm_qp.solve_qp fixed_iters): numerically identical to the
+    # early-exit while_loop, required on TPU where while-under-scan
+    # miscompiles (see admm_qp.py).  ~covers warm-started MPC QPs at 1e-6
+    # tolerances with margin.
+    qp_scan_iters: int = 400
+    # In-loop adaptive rho (OSQP §5.2) refactorizes the KKT inside the ADMM
+    # loop; under vmap lax.cond evaluates BOTH branches, so every iteration
+    # would pay a full refactorization (measured 4.8 s/tick).  The tracking
+    # QPs are Ruiz-equilibrated and warm-started, where a fixed rho with the
+    # equality boost converges within the scan budget (golden-parity gate,
+    # tests/test_mpc.py); off by default for the 100 Hz path.
+    qp_adaptive_rho: bool = False
 
     @property
     def max_comega(self) -> float:

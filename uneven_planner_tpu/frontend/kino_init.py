@@ -22,6 +22,15 @@ attempted with the same radius and collision sampling
 
 Everything is one jitted while_loop; parent pointers in a preallocated
 arena give path reconstruction (retrievePath, kino_astar.h:273-292).
+
+TPU layout: every per-node quantity is a separate flat 1-D array (x, y,
+yaw, g, f, ... each [Pn] / [arena_n] / [F*I]), NEVER an [N, 3] or
+[N, ..., 4] tensor — under a wide scenario vmap a small trailing dim pays
+16-64x (8, 128) tile padding, and the round-3 frontend benchmark OOMed at
+21.5 GiB on exactly that (per-candidate sigma corners, [.., 2,2,2,4]).
+Terrain sigma and occupancy go through the channel-major batch lookups
+(terrain/grid.py terrain_sigma_cm / is_occupancy_xy_batch), whose gather
+results are [M]-minor.
 """
 
 from __future__ import annotations
@@ -62,12 +71,33 @@ def state_transit(state, v, steer, T, wheel_base):
     return jnp.where(jnp.abs(steer) > 1e-4, turn, straight)
 
 
+def state_transit_cm(x, y, yaw, v, steer, T, wheel_base):
+    """`state_transit` on coordinate arrays (broadcasting, channel-major):
+    returns (x', y', yaw') elementwise — the batched hot path."""
+    s = v * T
+    t = s * jnp.tan(steer) / wheel_base
+    sx = x + s * jnp.cos(yaw)
+    sy = y + s * jnp.sin(yaw)
+    r = s / jnp.where(jnp.abs(t) > 1e-12, t, 1.0)
+    tx = x + r * (jnp.sin(yaw + t) - jnp.sin(yaw))
+    ty = y - r * (jnp.cos(yaw + t) - jnp.cos(yaw))
+    tyaw = tgrid.normalize_so2(yaw + t)
+    turn = jnp.abs(steer) > 1e-4
+    return (jnp.where(turn, tx, sx), jnp.where(turn, ty, sy),
+            jnp.where(turn, tyaw, yaw))
+
+
 class KinoResult(NamedTuple):
     path: jax.Array        # [L, 3] SE(2) path (start -> goal), padded
     path_mask: jax.Array   # [L] valid entries
     success: jax.Array     # bool
     cost: jax.Array        # g + shot length
     rounds: jax.Array
+    # Expanded-node record (visExpanded, kino_astar.cpp:266-276): only
+    # populated by plan(..., with_arena=True) — a [arena_n, 3] SE(2) state
+    # per expanded node plus its parent arena id (-1 = unused slot).
+    arena: jax.Array | None = None
+    arena_parent: jax.Array | None = None
 
 
 def _yaw_bins(cfg: FrontendConfig) -> int:
@@ -75,12 +105,14 @@ def _yaw_bins(cfg: FrontendConfig) -> int:
 
 
 def plan(grid: tgrid.TerrainGrid, cfg: FrontendConfig,
-         start, goal, n_shot_samples: int = 64) -> KinoResult:
+         start, goal, n_shot_samples: int = 64,
+         with_arena: bool = False) -> KinoResult:
     """Search for an init path from start to goal (single instance; vmap
-    for batches of scenarios)."""
+    for batches of scenarios).  with_arena=True additionally returns the
+    expanded-node record for visualization (utils/vis.expanded_nodes)."""
     F = cfg.frontier_size
     R = cfg.max_rounds
-    lattice = jnp.asarray(control_lattice(cfg), start.dtype)
+    lattice = control_lattice(cfg)
     I = lattice.shape[0]
     rho = cfg.wheel_base / math.tan(cfg.max_steer)
     nyaw_bins = _yaw_bins(cfg)
@@ -96,43 +128,44 @@ def plan(grid: tgrid.TerrainGrid, cfg: FrontendConfig,
                               / cfg.collision_interval)), 1)
     arena_n = 1 + F * R
     dtype = start.dtype
+    FI = F * I
+    lat_v = jnp.asarray(np.tile(lattice[:, 0], F), dtype)     # [FI]
+    lat_s = jnp.asarray(np.tile(lattice[:, 1], F), dtype)
+    parent_lane = jnp.asarray(np.repeat(np.arange(F), I), jnp.int32)
+    ox, oy, _ = grid.origin
 
-    def cell_of(state):
-        o = jnp.asarray(grid.origin[:2], dtype)
-        ix = jnp.clip(jnp.floor((state[0] - o[0]) / dedup_res)
-                      .astype(jnp.int32), 0, nx_d - 1)
-        iy = jnp.clip(jnp.floor((state[1] - o[1]) / dedup_res)
-                      .astype(jnp.int32), 0, ny_d - 1)
-        ib = jnp.clip(jnp.floor((tgrid.normalize_so2(state[2]) + jnp.pi)
+    def cells_of(cx, cy, cyaw):
+        ix = jnp.clip(jnp.floor((cx - ox) / dedup_res).astype(jnp.int32),
+                      0, nx_d - 1)
+        iy = jnp.clip(jnp.floor((cy - oy) / dedup_res).astype(jnp.int32),
+                      0, ny_d - 1)
+        ib = jnp.clip(jnp.floor((tgrid.normalize_so2(cyaw) + jnp.pi)
                                 / cfg.dedup_yaw_resolution)
                       .astype(jnp.int32), 0, nyaw_bins - 1)
         return (ix * ny_d + iy) * nyaw_bins + ib
 
-    def heu(state):
-        return (1.0 + 1.0 / 10000) * jnp.linalg.norm(state[:2] - goal[:2])
+    def heu(cx, cy):
+        return (1.0 + 1.0 / 10000) * jnp.hypot(cx - goal[0], cy - goal[1])
 
-    def arc_free(state, v, steer):
-        """Collision sampling along the primitive (kino_astar.cpp:171-185)."""
-        fr = (jnp.arange(1, n_col + 1, dtype=dtype) / n_col
-              * cfg.time_interval)
-        pts = jax.vmap(lambda t: state_transit(state, v, steer, t,
-                                               cfg.wheel_base))(fr)
-        occ = jax.vmap(lambda p: tgrid.is_occupancy_xy(grid, p[:2]))(pts)
-        return ~jnp.any(occ)
+    shot_ss = jnp.arange(n_shot_samples, dtype=dtype) * cfg.collision_interval
 
-    def try_shot(state, g):
-        """Dubins connection to the goal with collision check."""
-        near = jnp.linalg.norm(state[:2] - goal[:2]) < cfg.oneshot_range
-        L = dubins.distance(state, goal, rho)
-        ss = jnp.arange(n_shot_samples, dtype=dtype) \
-            * cfg.collision_interval
-        valid_s = ss <= L
-        pts = dubins.sample_many(state, goal, rho, jnp.minimum(ss, L))
-        occ = jax.vmap(lambda p: tgrid.is_occupancy_xy(grid, p[:2]))(pts)
-        blocked = jnp.any(occ & valid_s)
-        fits = L <= (n_shot_samples - 1) * cfg.collision_interval
+    def try_shot(ex, ey, eyaw, g_shot):
+        """Dubins connections to the goal with collision checks, over all
+        [F] expanded states at once (asignShotTraj, kino_astar.h:242-271)."""
+        near = jnp.hypot(ex - goal[0], ey - goal[1]) < cfg.oneshot_range
+        Ls = jax.vmap(lambda xx, yy, ww: dubins.distance(
+            jnp.stack([xx, yy, ww]), goal, rho))(ex, ey, eyaw)
+        valid_s = shot_ss[None, :] <= Ls[:, None]             # [F, S]
+        pts = jax.vmap(lambda xx, yy, ww, L: dubins.sample_many(
+            jnp.stack([xx, yy, ww]), goal, rho,
+            jnp.minimum(shot_ss, L)).T)(ex, ey, eyaw, Ls)     # [F, 3, S]
+        occ = tgrid.is_occupancy_xy_batch(
+            grid, pts[:, 0].reshape(-1),
+            pts[:, 1].reshape(-1)).reshape(F, -1)
+        blocked = jnp.any(occ & valid_s, axis=1)
+        fits = Ls <= (n_shot_samples - 1) * cfg.collision_interval
         ok = near & ~blocked & fits
-        return ok, jnp.where(ok, g + L, jnp.inf)
+        return ok, jnp.where(ok, g_shot + Ls, jnp.inf)
 
     # Persistent OPEN pool (batched A*): each round the best F open nodes
     # expand in parallel and their surviving children are merged back.
@@ -141,14 +174,19 @@ def plan(grid: tgrid.TerrainGrid, cfg: FrontendConfig,
     Pn = 8 * F
 
     class S(NamedTuple):
-        pool_states: jax.Array   # [Pn, 3]
-        pool_g: jax.Array        # [Pn]
-        pool_f: jax.Array        # [Pn] inf = empty/closed
-        pool_inputs: jax.Array   # [Pn, 2] arrival inputs
+        pool_x: jax.Array        # [Pn]
+        pool_y: jax.Array
+        pool_yaw: jax.Array
+        pool_g: jax.Array
+        pool_f: jax.Array        # inf = empty/closed
+        pool_v: jax.Array        # arrival input v
+        pool_steer: jax.Array    # arrival input steer
         pool_parent: jax.Array   # [Pn] arena id of generating parent
         best_g: jax.Array        # [n_cells]
-        arena_states: jax.Array  # [arena_n, 3] expanded nodes
-        arena_parent: jax.Array  # [arena_n]
+        arena_x: jax.Array       # [arena_n] expanded nodes
+        arena_y: jax.Array
+        arena_yaw: jax.Array
+        arena_parent: jax.Array
         rnd: jax.Array
         shot_ok: jax.Array
         shot_cost: jax.Array
@@ -157,56 +195,61 @@ def plan(grid: tgrid.TerrainGrid, cfg: FrontendConfig,
 
     def body(s: S):
         # select best-F open nodes for expansion; they become arena nodes
-        sel = jnp.argsort(s.pool_f)[:F]
-        exp_states = s.pool_states[sel]
+        negf, sel = jax.lax.top_k(-s.pool_f, F)
+        exp_x, exp_y = s.pool_x[sel], s.pool_y[sel]
+        exp_yaw = s.pool_yaw[sel]
         exp_g = s.pool_g[sel]
-        exp_inputs = s.pool_inputs[sel]
+        exp_v, exp_steer = s.pool_v[sel], s.pool_steer[sel]
         exp_parents = s.pool_parent[sel]
         active = jnp.isfinite(s.pool_f[sel])
         pool_f = s.pool_f.at[sel].set(jnp.inf)  # close them
 
         base = 1 + s.rnd * F
         exp_ids = base + jnp.arange(F, dtype=jnp.int32)
-        arena_states = jax.lax.dynamic_update_slice(
-            s.arena_states, exp_states, (base, jnp.zeros((), jnp.int32)))
+        arena_x = jax.lax.dynamic_update_slice(s.arena_x, exp_x, (base,))
+        arena_y = jax.lax.dynamic_update_slice(s.arena_y, exp_y, (base,))
+        arena_yaw = jax.lax.dynamic_update_slice(s.arena_yaw, exp_yaw,
+                                                 (base,))
         arena_parent = jax.lax.dynamic_update_slice(
             s.arena_parent, jnp.where(active, exp_parents, -1), (base,))
 
         # one-shot attempts from the expanded set (best lane wins)
         exp_g_shot = jnp.where(active, exp_g, jnp.inf)
-        oks, totals = jax.vmap(try_shot)(exp_states, exp_g_shot)
+        oks, totals = try_shot(exp_x, exp_y, exp_yaw, exp_g_shot)
         totals = jnp.where(oks, totals, jnp.inf)
         best_lane = jnp.argmin(totals)
         better = totals[best_lane] < s.shot_cost
-        shot_ok = s.shot_ok | (oks[best_lane] & better)
-        shot_cost = jnp.where(better & oks[best_lane], totals[best_lane],
-                              s.shot_cost)
-        shot_node = jnp.where(better & oks[best_lane], exp_ids[best_lane],
-                              s.shot_node)
+        hit = oks[best_lane] & better
+        shot_ok = s.shot_ok | hit
+        shot_cost = jnp.where(hit, totals[best_lane], s.shot_cost)
+        shot_node = jnp.where(hit, exp_ids[best_lane], s.shot_node)
 
-        # expand through the control lattice
-        cand = jax.vmap(lambda st: jax.vmap(
-            lambda u: state_transit(st, u[0], u[1], cfg.time_interval,
-                                    cfg.wheel_base))(lattice))(exp_states)
-        cand = cand.reshape(F * I, 3)
-        v = jnp.tile(lattice[:, 0], F)
-        steer = jnp.tile(lattice[:, 1], F)
-        parent_lane = jnp.repeat(jnp.arange(F), I)
+        # expand through the control lattice ([FI] flat candidate arrays)
+        px0 = exp_x[parent_lane]
+        py0 = exp_y[parent_lane]
+        pyaw0 = exp_yaw[parent_lane]
+        cx, cy, cyaw = state_transit_cm(px0, py0, pyaw0, lat_v, lat_s,
+                                        cfg.time_interval, cfg.wheel_base)
 
-        in_map = jax.vmap(lambda p: tgrid.is_in_map(grid, p))(
-            cand.at[:, 2].set(jnp.clip(
-                cand[:, 2], grid.origin[2] + 1e-3,
-                -grid.origin[2] - 1e-3)))
-        free = jax.vmap(arc_free)(exp_states[parent_lane], v, steer)
-        sig = jax.vmap(lambda p: tgrid.terrain_sigma(grid, p))(cand)
+        in_map = (cx > ox + 1e-4) & (cx < ox + nx * grid.xy_resolution - 1e-4) \
+            & (cy > oy + 1e-4) & (cy < oy + ny * grid.xy_resolution - 1e-4)
+        # collision sampling along the arcs (kino_astar.cpp:171-185)
+        fr = (jnp.arange(1, n_col + 1, dtype=dtype) / n_col
+              * cfg.time_interval)
+        ax_, ay_, _ = state_transit_cm(
+            px0[:, None], py0[:, None], pyaw0[:, None],
+            lat_v[:, None], lat_s[:, None], fr[None, :], cfg.wheel_base)
+        occ_arc = tgrid.is_occupancy_xy_batch(
+            grid, ax_.reshape(-1), ay_.reshape(-1)).reshape(FI, n_col)
+        free = ~jnp.any(occ_arc, axis=1)
+        sig = tgrid.terrain_sigma_cm(grid, cx, cy, tgrid.normalize_so2(cyaw))
 
-        arc = v * cfg.time_interval
+        arc = lat_v * cfg.time_interval
         dg = (cfg.weight_r2 * arc
-              + cfg.weight_so2 * jnp.abs(steer) * arc
-              + cfg.weight_v_change
-              * jnp.abs(v - exp_inputs[parent_lane, 0])
+              + cfg.weight_so2 * jnp.abs(lat_s) * arc
+              + cfg.weight_v_change * jnp.abs(lat_v - exp_v[parent_lane])
               + cfg.weight_delta_change
-              * jnp.abs(steer - exp_inputs[parent_lane, 1])
+              * jnp.abs(lat_s - exp_steer[parent_lane])
               + cfg.weight_sigma * sig)
         g_new = exp_g[parent_lane] + dg
         ok = active[parent_lane] & in_map & free
@@ -214,44 +257,41 @@ def plan(grid: tgrid.TerrainGrid, cfg: FrontendConfig,
 
         # per-cell winners via scatter-min (dedup within the round and
         # against all previously accepted nodes)
-        cells = jax.vmap(cell_of)(cand)
+        cells = cells_of(cx, cy, cyaw)
         round_best = jnp.full((n_cells,), jnp.inf, dtype).at[cells].min(g_new)
         improved = (g_new <= round_best[cells]) & \
             (g_new < s.best_g[cells] - 1e-9) & jnp.isfinite(g_new)
-        first_idx = jnp.full((n_cells,), F * I, jnp.int32) \
+        first_idx = jnp.full((n_cells,), FI, jnp.int32) \
             .at[cells].min(jnp.where(improved,
-                                     jnp.arange(F * I, dtype=jnp.int32),
-                                     F * I))
-        winner = improved & (first_idx[cells] == jnp.arange(F * I))
+                                     jnp.arange(FI, dtype=jnp.int32),
+                                     FI))
+        winner = improved & (first_idx[cells] == jnp.arange(FI))
 
-        f_cand = jnp.where(winner,
-                           g_new + cfg.lambda_heu * jax.vmap(heu)(cand),
+        f_cand = jnp.where(winner, g_new + cfg.lambda_heu * heu(cx, cy),
                            jnp.inf)
 
         # merge pool (minus expanded) with winners, keep best Pn by f
         merged_f = jnp.concatenate([pool_f, f_cand])
-        keep = jnp.argsort(merged_f)[:Pn]
-        merged_states = jnp.concatenate([s.pool_states, cand])
+        _, keep = jax.lax.top_k(-merged_f, Pn)
         merged_g = jnp.concatenate([s.pool_g, g_new])
-        merged_inputs = jnp.concatenate(
-            [s.pool_inputs, jnp.stack([v, steer], axis=1)])
-        merged_parent = jnp.concatenate(
-            [s.pool_parent, exp_ids[parent_lane]])
+        take = lambda old, new: jnp.concatenate([old, new])[keep]
         new_pool_f = merged_f[keep]
         new_pool = S(
-            pool_states=merged_states[keep], pool_g=merged_g[keep],
-            pool_f=new_pool_f, pool_inputs=merged_inputs[keep],
-            pool_parent=merged_parent[keep],
-            best_g=s.best_g, arena_states=arena_states,
-            arena_parent=arena_parent, rnd=s.rnd + 1,
+            pool_x=take(s.pool_x, cx), pool_y=take(s.pool_y, cy),
+            pool_yaw=take(s.pool_yaw, cyaw),
+            pool_g=merged_g[keep], pool_f=new_pool_f,
+            pool_v=take(s.pool_v, lat_v),
+            pool_steer=take(s.pool_steer, lat_s),
+            pool_parent=take(s.pool_parent, exp_ids[parent_lane]),
+            best_g=s.best_g, arena_x=arena_x, arena_y=arena_y,
+            arena_yaw=arena_yaw, arena_parent=arena_parent, rnd=s.rnd + 1,
             shot_ok=shot_ok, shot_cost=shot_cost, shot_node=shot_node,
             done=s.done)
 
         # accepted candidates (kept & from the candidate part) claim best_g
         cand_keep = keep >= Pn
         claim_cells = jnp.where(cand_keep, cells[jnp.clip(keep - Pn, 0)], 0)
-        claim_g = jnp.where(cand_keep,
-                            merged_g[keep], jnp.inf)
+        claim_g = jnp.where(cand_keep, merged_g[keep], jnp.inf)
         best_after = s.best_g.at[claim_cells].min(claim_g)
 
         rnd = s.rnd + 1
@@ -259,22 +299,28 @@ def plan(grid: tgrid.TerrainGrid, cfg: FrontendConfig,
         done = shot_ok | (rnd >= R) | ~any_open
         return new_pool._replace(best_g=best_after, done=done)
 
-    start_n = start.at[2].set(tgrid.normalize_so2(start[2]))
+    start_yaw = tgrid.normalize_so2(start[2])
+    start_n = jnp.stack([start[0], start[1], start_yaw])
     # occupied-start/goal early-out (reference aborts before searching,
     # kino_astar.cpp:86-95: SE(2) occupancy at start, 2D occupancy at goal)
     feasible = ~tgrid.is_occupancy(grid, start_n) \
         & ~tgrid.is_occupancy_xy(grid, goal[:2])
-    pool_states0 = jnp.broadcast_to(start_n, (Pn, 3)).copy()
-    pool_g0 = jnp.full((Pn,), jnp.inf, dtype).at[0].set(0.0)
     pool_f0 = jnp.full((Pn,), jnp.inf, dtype).at[0].set(
-        jnp.where(feasible, cfg.lambda_heu * heu(start_n), jnp.inf))
-    best_g0 = jnp.full((n_cells,), jnp.inf, dtype).at[
-        cell_of(start_n)].set(0.0)
-    init = S(pool_states=pool_states0, pool_g=pool_g0, pool_f=pool_f0,
-             pool_inputs=jnp.zeros((Pn, 2), dtype),
+        jnp.where(feasible,
+                  cfg.lambda_heu * heu(start_n[0], start_n[1]), jnp.inf))
+    init = S(pool_x=jnp.full((Pn,), start[0], dtype),
+             pool_y=jnp.full((Pn,), start[1], dtype),
+             pool_yaw=jnp.full((Pn,), start_yaw, dtype),
+             pool_g=jnp.full((Pn,), jnp.inf, dtype).at[0].set(0.0),
+             pool_f=pool_f0,
+             pool_v=jnp.zeros((Pn,), dtype),
+             pool_steer=jnp.zeros((Pn,), dtype),
              pool_parent=jnp.zeros((Pn,), jnp.int32),
-             best_g=best_g0,
-             arena_states=jnp.broadcast_to(start_n, (arena_n, 3)).copy(),
+             best_g=jnp.full((n_cells,), jnp.inf, dtype).at[
+                 cells_of(start[0], start[1], start_yaw)].set(0.0),
+             arena_x=jnp.full((arena_n,), start[0], dtype),
+             arena_y=jnp.full((arena_n,), start[1], dtype),
+             arena_yaw=jnp.full((arena_n,), start_yaw, dtype),
              arena_parent=jnp.full((arena_n,), -1, jnp.int32),
              rnd=jnp.asarray(0, jnp.int32),
              shot_ok=jnp.asarray(False),
@@ -287,9 +333,11 @@ def plan(grid: tgrid.TerrainGrid, cfg: FrontendConfig,
     # ---- path reconstruction (retrievePath, kino_astar.h:273-292)
     def back(carry, _):
         node, _ = carry
-        st = out.arena_states[jnp.maximum(node, 0)]
+        nid = jnp.maximum(node, 0)
+        st = jnp.stack([out.arena_x[nid], out.arena_y[nid],
+                        out.arena_yaw[nid]])
         valid = node >= 0
-        nxt = jnp.where(valid, out.arena_parent[jnp.maximum(node, 0)], -1)
+        nxt = jnp.where(valid, out.arena_parent[nid], -1)
         return (nxt, valid), (st, valid)
 
     (_, _), (rev_states, rev_valid) = jax.lax.scan(
@@ -301,7 +349,9 @@ def plan(grid: tgrid.TerrainGrid, cfg: FrontendConfig,
                             rev_states[jnp.clip(idx, 0, R)], 0.0)
     tree_mask = idx >= 0
 
-    shot_state = out.arena_states[out.shot_node]
+    shot_state = jnp.stack([out.arena_x[out.shot_node],
+                            out.arena_y[out.shot_node],
+                            out.arena_yaw[out.shot_node]])
     L = dubins.distance(shot_state, goal, rho)
     ss = jnp.arange(1, n_shot_samples + 1, dtype=dtype) \
         * cfg.collision_interval
@@ -312,8 +362,12 @@ def plan(grid: tgrid.TerrainGrid, cfg: FrontendConfig,
     path = jnp.concatenate([tree_states, shot_pts, goal[None, :]], axis=0)
     mask = jnp.concatenate([tree_mask, shot_mask, jnp.asarray([True])])
     mask = mask & out.shot_ok
+    arena = (jnp.stack([out.arena_x, out.arena_y, out.arena_yaw], axis=1)
+             if with_arena else None)
     return KinoResult(path=path, path_mask=mask, success=out.shot_ok,
-                      cost=out.shot_cost, rounds=out.rnd)
+                      cost=out.shot_cost, rounds=out.rnd,
+                      arena=arena,
+                      arena_parent=out.arena_parent if with_arena else None)
 
 
 def extract_path(result: KinoResult) -> np.ndarray:

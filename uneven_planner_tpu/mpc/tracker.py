@@ -229,7 +229,9 @@ def mpc_step(now_state, xref, dref, output_prev, output_buff,
             P, q, A, l, u, rho=cfg.qp_rho, sigma=cfg.qp_sigma,
             alpha=cfg.qp_alpha, eps_abs=cfg.qp_abs_tol,
             eps_rel=cfg.qp_rel_tol, max_iter=cfg.qp_max_iter,
-            x0=x_ws, y0=y_prev, polish=cfg.qp_polish)
+            x0=x_ws, y0=y_prev, polish=cfg.qp_polish,
+            adaptive_rho=cfg.qp_adaptive_rho,
+            fixed_iters=cfg.qp_scan_iters)
         un = sol.x[dimx:].reshape(H, 2).T          # [2, H]
         out = output
         if d > 0:
@@ -262,7 +264,23 @@ def mpc_step(now_state, xref, dref, output_prev, output_buff,
              qp_iters=jnp.asarray(0, jnp.int32),
              du=jnp.asarray(jnp.inf, now_state.dtype),
              done=jnp.asarray(False))
-    out = jax.lax.while_loop(cond, body, init)
+    if max_sqp <= 8:
+        # Unroll small relinearization loops at trace time (masked, so the
+        # du_threshold early exit keeps its semantics).  Not an
+        # optimization: on this TPU platform a batched linalg custom-call
+        # nested under TWO while_loop levels (sqp while around the ADMM
+        # while) miscompiles and CRASHES the TPU worker at batch >= ~256
+        # (kernel fault; isolated round 4 — single-level nesting at the
+        # same sizes is fine).  Unrolling removes the outer level.  The
+        # reference's 150-iteration cap (mpc.cpp:797-841) keeps the
+        # while_loop path; production callers pass max_sqp_iter=3.
+        out = init
+        for _ in range(max_sqp):
+            nxt = body(out)
+            out = jax.tree.map(
+                lambda new, old: jnp.where(out.done, old, new), nxt, out)
+    else:
+        out = jax.lax.while_loop(cond, body, init)
 
     cmd = out.output[:, d]
     if d > 0:

@@ -86,3 +86,63 @@ def plan_track_batch(grid, scfg, starts, goals, shape,
                      **kwargs):
     return jax.vmap(lambda s, g: plan_track_scenario(
         grid, scfg, s, g, shape, **kwargs))(starts, goals)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase orchestrator (the TPU production path)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _plan_phase_fn(scfg: SceneConfig, shape: alm.ProblemShape,
+                   overrides_key, metric_samples: int):
+    """Memoized jitted phase 1: search -> optimize -> wire round trip.
+    (Process-lifetime cache: re-creating jits per call re-traces the whole
+    program — seconds of host time, see alm._compacted_fns.)"""
+    overrides = dict(overrides_key) if overrides_key else None
+
+    def one(grid, start, goal):
+        kres = kino_init.plan(grid, scfg.frontend, start, goal)
+        x0, bound = manager.init_guess_fixed_jax(
+            kres.path, kres.path_mask, scfg.manager,
+            shape.piece_xy, shape.piece_yaw)
+        ares = alm.solve_flat(x0, bound, shape, grid, scfg.alm,
+                              lbfgs_overrides=overrides)
+        msg = traj_msg.msg_from_traj(ares.traj)
+        traj = traj_msg.traj_from_msg(msg)
+        nh = non_hol_error(ares.traj, num_samples=metric_samples)
+        return (kres.success, ares.converged, ares.outer_iters,
+                ares.inner_iters, nh, traj)
+
+    return jax.jit(lambda g, ss, gg: jax.vmap(
+        lambda s_, g_: one(g, s_, g_))(ss, gg))
+
+
+def plan_track_batch_chunked(grid, scfg: SceneConfig, starts, goals,
+                             shape: alm.ProblemShape,
+                             n_track_steps: int = 500,
+                             lbfgs_overrides=None,
+                             max_sqp_iter: int = 3,
+                             metric_samples: int = 1024,
+                             plant_params=None,
+                             chunk_ticks: int = 25) -> PipelineResult:
+    """`plan_track_batch` split into (jitted plan+optimize) followed by the
+    host-chunked closed-loop tracking — the TPU production path: on this
+    platform the single-program vmapped rollout miscompiles past ~(8 x 50)
+    (batch x ticks) and crashes the TPU worker (see
+    sim/rollout.track_trajectory_batched).  Results match the fused path
+    (same per-tick math; only the dispatch granularity differs)."""
+    key = (tuple(sorted(lbfgs_overrides.items()))
+           if lbfgs_overrides else None)
+    pf = _plan_phase_fn(scfg, shape, key, metric_samples)
+    succ, conv, oi, ii, nh, traj = pf(grid, starts, goals)
+    tres = rollout.track_trajectory_batched(
+        traj, starts, scfg.mpc, n_track_steps, max_sqp_iter=max_sqp_iter,
+        plant_params=plant_params, chunk_ticks=chunk_ticks,
+        traj_batched=True)
+    return PipelineResult(plan_success=succ, alm_converged=conv,
+                          outer_iters=oi, inner_iters=ii, non_hol=nh,
+                          mean_track_err=tres.mean_err,
+                          final_track_err=tres.errs[:, -1])

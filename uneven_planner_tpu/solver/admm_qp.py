@@ -26,6 +26,92 @@ _mm = partial(jnp.matmul, precision=_P)
 from jax.scipy.linalg import cho_factor, cho_solve, lu_factor, lu_solve
 
 
+def _chol_upper_jax(M):
+    """Pure-JAX Cholesky (upper factor, drop-in for cho_factor(M)[0]).
+
+    Right-looking column sweep lowered to plain XLA ops — deliberately NOT
+    the CholeskyDecomposition custom-call: on this TPU platform the batched
+    factorization custom-call crashes the TPU worker once a program
+    executes it more than ~500 x batch times (round-4 isolation: B=256 x 3
+    chained QP passes faults, x 2 does not; the ADMM adaptive-rho
+    refactorization inside the while_loop multiplies executions far past
+    that).  Plain fused elementwise/outer ops have no such failure mode.
+    ~9 ms per [256, 150, 150] batch (bandwidth-bound), and factorizations
+    are rare next to the in-loop triangular solves, which remain native.
+    """
+    n = M.shape[-1]
+    idx = jnp.arange(n)
+
+    def body(j, K):
+        pivot = jnp.sqrt(jnp.maximum(K[j, j], 1e-30))
+        col = K[:, j] / pivot
+        below = idx > j
+        col_m = jnp.where(below, col, 0.0)
+        newcol = jnp.where(idx == j, pivot, jnp.where(below, col, K[:, j]))
+        K = K.at[:, j].set(newcol)
+        return K - jnp.outer(col_m, col_m)
+
+    return jnp.tril(_fori_scan(n, body, M)).T
+
+
+def _chol_upper(M):
+    """Upper Cholesky factor of an SPD matrix: LAPACK on CPU, the pure-JAX
+    sweep on TPU (see _chol_upper_jax for why)."""
+    if jax.default_backend() == "cpu":
+        return cho_factor(M)[0]
+    return _chol_upper_jax(M)
+
+
+def _tril_inv_jax(L):
+    """Pure-JAX inverse of a lower-triangular matrix (row-wise forward
+    substitution against I) — same custom-call-avoidance rationale as
+    _chol_upper_jax."""
+    n = L.shape[-1]
+    idx = jnp.arange(n)
+    eye = jnp.eye(n, dtype=L.dtype)
+
+    def body(i, X):
+        lrow = jnp.where(idx < i, L[i], 0.0)
+        row = (eye[i] - _mm(lrow, X)) / L[i, i]
+        return X.at[i].set(row)
+
+    return _fori_scan(n, body, jnp.zeros_like(L))
+
+
+def _spd_inverse(M):
+    """Explicit inverse of an SPD matrix.
+
+    The ADMM x-update then becomes ONE MXU matvec per iteration instead of
+    two triangular solves.  That is the TPU-native choice on its own
+    (substitution is sequential; the matvec rides the MXU), and it is also
+    load-bearing on this platform: both the batched Cholesky AND the
+    batched TriangularSolve custom-calls crash the TPU worker once a
+    program executes them ~1e5 times cumulatively (round-4 isolation:
+    vmapped tracking dies between 8x20x3 and 8x35x3 QP passes of ~200
+    in-loop cho_solves each).  With the explicit inverse, custom-call
+    count per program is ZERO on TPU — factorization and substitution run
+    as plain XLA loops once per (re)factorization, never in the hot loop.
+    CPU keeps LAPACK for the inverse (tests, f64 oracles).
+    """
+    if jax.default_backend() == "cpu":
+        return jnp.linalg.inv(M)
+    U = _chol_upper_jax(M)
+    Linv = _tril_inv_jax(U.T)
+    return _mm(Linv.T, Linv)
+
+
+
+
+def _fori_scan(n, body, init):
+    """fori_loop via lax.scan.  jax.lax.fori_loop lowers to While even for
+    static trip counts, and on this TPU platform a While nested under a
+    vmapped scan miscompiles (worker kernel fault, round-4 isolation) —
+    every loop that can sit under the MPC tracking scan must be a scan."""
+    def step(c, i):
+        return body(i, c), None
+    return jax.lax.scan(step, init, jnp.arange(n))[0]
+
+
 class QPSolution(NamedTuple):
     x: jax.Array        # [n] primal
     y: jax.Array        # [m] dual
@@ -75,8 +161,8 @@ def ruiz_equilibrate(P, q, A, l, u, iters: int = 10,
         c = c * gamma
         return Pb, qb, Ab, D, E, c
 
-    Pb, qb, Ab, D, E, c = jax.lax.fori_loop(
-        0, iters, body, (Pb, qb, Ab, D, E, c))
+    Pb, qb, Ab, D, E, c = _fori_scan(
+        iters, body, (Pb, qb, Ab, D, E, c))
     return Pb, qb, Ab, E * l, E * u, D, E, c
 
 
@@ -131,7 +217,8 @@ def solve_qp(P, q, A, l, u, *, rho: float = 0.1, sigma: float = 1e-6,
              eps_rel: float = 1e-6, max_iter: int = 2000,
              x0=None, y0=None, ruiz: bool = True,
              adaptive_rho: bool = True, adaptive_rho_interval: int = 25,
-             polish: bool = True) -> QPSolution:
+             polish: bool = True,
+             fixed_iters: int | None = None) -> QPSolution:
     """ADMM iteration (OSQP §3, the algorithm OSQP implements):
 
       x~ = M^-1 (sigma x - q + A'(rho z - y))
@@ -172,9 +259,9 @@ def solve_qp(P, q, A, l, u, *, rho: float = 0.1, sigma: float = 1e-6,
     def factor(rho_s):
         rho_vec = jnp.where(is_eq, 1e3 * rho_s, rho_s).astype(dtype)
         M = P + sigma * eye_n + _mm(A.T * rho_vec, A)
-        return rho_vec, cho_factor(M)
+        return rho_vec, _spd_inverse(M)
 
-    rho_vec, chol = factor(jnp.asarray(rho, dtype))
+    rho_vec, minv = factor(jnp.asarray(rho, dtype))
 
     # warm starts arrive unscaled (previous tick's solution)
     x = jnp.zeros((n,), dtype) if x0 is None else Dinv * x0
@@ -187,7 +274,7 @@ def solve_qp(P, q, A, l, u, *, rho: float = 0.1, sigma: float = 1e-6,
         y: jax.Array
         rho_s: jax.Array
         rho_vec: jax.Array
-        chol: jax.Array
+        minv: jax.Array
         it: jax.Array
         r_prim: jax.Array
         r_dual: jax.Array
@@ -198,7 +285,7 @@ def solve_qp(P, q, A, l, u, *, rho: float = 0.1, sigma: float = 1e-6,
 
     def body(s: S):
         rhs = sigma * s.x - q + _mm(A.T, s.rho_vec * s.z - s.y)
-        x_t = cho_solve((s.chol, False), rhs)
+        x_t = _mm(s.minv, rhs)
         z_t = _mm(A, x_t)
         x_new = alpha * x_t + (1 - alpha) * s.x
         z_relax = alpha * z_t + (1 - alpha) * s.z
@@ -235,29 +322,43 @@ def solve_qp(P, q, A, l, u, *, rho: float = 0.1, sigma: float = 1e-6,
                 & ~converged
 
             def refac(_):
-                rv, ch = factor(rho_prop)
-                return rho_prop, rv, ch[0]
+                rv, mi = factor(rho_prop)
+                return rho_prop, rv, mi
 
             def keep(_):
-                return s.rho_s, s.rho_vec, s.chol
+                return s.rho_s, s.rho_vec, s.minv
 
-            rho_s, rho_vec_n, chol_n = jax.lax.cond(adapt, refac, keep,
+            rho_s, rho_vec_n, minv_n = jax.lax.cond(adapt, refac, keep,
                                                     None)
         else:
-            rho_s, rho_vec_n, chol_n = s.rho_s, s.rho_vec, s.chol
+            rho_s, rho_vec_n, minv_n = s.rho_s, s.rho_vec, s.minv
 
         return S(x=x_new, z=z_new, y=y_new,
-                 rho_s=rho_s, rho_vec=rho_vec_n, chol=chol_n, it=it,
+                 rho_s=rho_s, rho_vec=rho_vec_n, minv=minv_n, it=it,
                  r_prim=r_prim, r_dual=r_dual,
                  done=converged | (it >= max_iter))
 
     init = S(x=x, z=z, y=y, rho_s=jnp.asarray(rho, dtype),
-             rho_vec=rho_vec, chol=chol[0],
+             rho_vec=rho_vec, minv=minv,
              it=jnp.asarray(0, jnp.int32),
              r_prim=jnp.asarray(jnp.inf, dtype),
              r_dual=jnp.asarray(jnp.inf, dtype),
              done=jnp.asarray(False))
-    out = jax.lax.while_loop(cond, body, init)
+    if fixed_iters is not None:
+        # Masked fixed-trip scan: the SAME update sequence as the
+        # while_loop (lanes freeze once done), just a bounded trip count.
+        # Callers that run the QP inside an outer lax.scan (the MPC
+        # tracking rollout) MUST use this mode: on this TPU platform a
+        # while_loop nested under a vmapped scan miscompiles and crashes
+        # the TPU worker (round-4 isolation — swapping only the loop
+        # construct removes the fault).
+        def step(c, _):
+            nc = body(c)
+            c2 = jax.tree.map(lambda a, b: jnp.where(c.done, b, a), nc, c)
+            return c2, None
+        out = jax.lax.scan(step, init, None, length=fixed_iters)[0]
+    else:
+        out = jax.lax.while_loop(cond, body, init)
 
     # unscale, then polish on the original data
     x_u = D * out.x

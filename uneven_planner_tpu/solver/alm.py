@@ -400,6 +400,9 @@ class ALMResult(NamedTuple):
     # work; the wall-time roofline is evals x per-eval gather cost).  The
     # nested `solve` path reports -1 (it does not count line-search evals).
     evals: jax.Array | None = None
+    # final multipliers/penalty per lane (only populated by
+    # solve_flat_compacted(return_duals=True); the warm-start harvest).
+    duals: DualState | None = None
 
 
 def lbfgs_params_from(cfg: ALMConfig) -> lbfgs.LBFGSParams:
@@ -730,7 +733,7 @@ def flat_step(s: _FlatState, bound: Boundary, scaling: Scaling,
         ys0 = jnp.where(use_mem, YS_n[newest], 1.0)
         yy0 = jnp.where(use_mem, _dot(Y_n[newest], Y_n[newest]), 1.0)
         d_mem = lbfgs._two_loop(g_n, S_n, Y_n, YS_n, end_n, bound_n,
-                                ys0, yy0, m)
+                                ys0, yy0, m, unroll=p.two_loop_unroll)
         # nonfinite two-loop output (pathological memory) -> steepest descent
         d_new = jnp.where(use_mem & jnp.all(jnp.isfinite(d_mem)), d_mem,
                           -g_n)
@@ -888,11 +891,39 @@ class _SmallResult(NamedTuple):
     evals: jax.Array
 
 
+class _SmallResultD(NamedTuple):
+    """_SmallResult plus the final duals (warm-start harvest: ~5 KB/lane
+    at K=16, so only pulled when return_duals=True)."""
+    x: jax.Array
+    o_it: jax.Array
+    inner_iters: jax.Array
+    res_h: jax.Array
+    res_g: jax.Array
+    lb_status: jax.Array
+    evals: jax.Array
+    lam: jax.Array
+    mu: jax.Array
+    rho: jax.Array
+
+
+def _broadcast_warm_duals(warm_duals: DualState, B: int) -> DualState:
+    """Accept a single prior DualState ([E]/[I]/scalar) or a per-lane batch
+    ([B,E]/[B,I]/[B]) and return the batched form."""
+    if warm_duals.lam.ndim == 1:
+        return DualState(
+            lam=jnp.broadcast_to(warm_duals.lam, (B,) + warm_duals.lam.shape),
+            mu=jnp.broadcast_to(warm_duals.mu, (B,) + warm_duals.mu.shape),
+            rho=jnp.broadcast_to(warm_duals.rho, (B,)))
+    return warm_duals
+
+
 def solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
                          cfg: ALMConfig, lbfgs_overrides: dict | None = None,
                          chunk_steps: int = 96, buckets=(1, 4, 16),
                          max_dispatch: int = 4096,
-                         retry_width: int | None = 1024):
+                         retry_width: int | None = 1024,
+                         warm_duals: DualState | None = None,
+                         return_duals: bool = False):
     """See _solve_flat_compacted; batches wider than `max_dispatch` are
     processed in sequential slices, and unconverged lanes get one narrow
     retry pass.
@@ -909,16 +940,22 @@ def solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
     import numpy as np
 
     B = x0s.shape[0]
+    if warm_duals is not None:
+        warm_duals = _broadcast_warm_duals(warm_duals, B)
+    wslice = lambda sl: (None if warm_duals is None
+                         else jax.tree.map(lambda a: a[sl], warm_duals))
     if B <= max_dispatch:
         res = _solve_flat_compacted(x0s, bounds, shape, grid, cfg,
-                                    lbfgs_overrides, chunk_steps, buckets)
+                                    lbfgs_overrides, chunk_steps, buckets,
+                                    warm_duals, return_duals)
     else:
         parts = []
         for lo in range(0, B, max_dispatch):
             sl = slice(lo, min(lo + max_dispatch, B))
             parts.append(_solve_flat_compacted(
                 x0s[sl], jax.tree.map(lambda a: a[sl], bounds), shape, grid,
-                cfg, lbfgs_overrides, chunk_steps, buckets))
+                cfg, lbfgs_overrides, chunk_steps, buckets,
+                wslice(sl), return_duals))
         res = jax.tree.map(lambda *a: jnp.concatenate(a), *parts)
 
     if retry_width is None or max_dispatch <= retry_width:
@@ -939,7 +976,8 @@ def solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
     redo = solve_flat_compacted(
         x0s[ip], jax.tree.map(lambda a: a[ip], bounds), shape, grid, cfg,
         lbfgs_overrides, chunk_steps, buckets,
-        max_dispatch=retry_width, retry_width=None)
+        max_dispatch=retry_width, retry_width=None,
+        warm_duals=wslice(ip), return_duals=return_duals)
     nb = min(bad.size, width)
     ii = jnp.asarray(bad[:nb].astype(np.int32))
     redo_trim = jax.tree.map(lambda a: a[:nb], redo)
@@ -947,9 +985,56 @@ def solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
                         redo_trim)
 
 
+@_functools.lru_cache(maxsize=None)
+def _compacted_fns(shape: ProblemShape, cfg: ALMConfig,
+                   p: "lbfgs.LBFGSParams", chunk_steps: int,
+                   return_duals: bool):
+    """Process-lifetime jitted programs for the compacted driver, keyed by
+    the static solver configuration.  jax.jit caches one trace/compile per
+    input SHAPE internally, so every bucket width shares these callables.
+
+    Round-3 design bug (found via e22, round 4): the driver re-created its
+    jit wrappers per solve call, so every invocation re-TRACED the
+    chunk_steps-step while-loop body at every bucket size — several
+    seconds of pure host work per call that dwarfed the device time
+    (measured 14.7 s wall for a solve whose device work is ~2.8 s)."""
+    run = jax.jit(lambda st, bd, sc, g: jax.vmap(
+        lambda s_, b_, c_: flat_run(s_, b_, c_, shape, g, cfg, p,
+                                    chunk_steps))(st, bd, sc))
+    take = jax.jit(lambda tree, ii: jax.tree.map(lambda a: a[ii], tree))
+
+    # in-loop residuals are authoritative: the split hi+lo packed table's
+    # <=4e-6 field error is three orders below epsilon_con, so no exact
+    # re-evaluation pass is needed at chunk boundaries (the round-2
+    # flat-bf16 table paid one full constraint pass per round)
+    def small(st):
+        core = dict(x=st.x, o_it=st.o_it, inner_iters=st.inner_iters,
+                    res_h=st.res_h, res_g=st.res_g,
+                    lb_status=st.lb_status, evals=st.evals)
+        if return_duals:
+            return _SmallResultD(**core, lam=st.duals.lam, mu=st.duals.mu,
+                                 rho=st.duals.rho)
+        return _SmallResult(**core)
+
+    scal = jax.jit(lambda xs, bs, g: jax.vmap(
+        lambda x, b: _make_scaling(x, b, shape, g, cfg))(xs, bs))
+    init_cold = jax.jit(jax.vmap(lambda x: flat_init(x, shape, cfg, p)))
+    init_warm = jax.jit(jax.vmap(
+        lambda x, wd: flat_init(x, shape, cfg, p, wd)))
+
+    def fin_one(x, b):
+        c_xy, ts_xy, c_yaw, ts_yaw, _ = _coeffs(x, b, shape)
+        return SE2Traj(c_xy=c_xy, ts_xy=ts_xy, c_yaw=c_yaw, ts_yaw=ts_yaw)
+
+    finalize = jax.jit(lambda xs_, bs: jax.vmap(fin_one)(xs_, bs))
+    return run, take, jax.jit(small), scal, init_cold, init_warm, finalize
+
+
 def _solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
                           cfg: ALMConfig, lbfgs_overrides: dict | None = None,
-                          chunk_steps: int = 96, buckets=(1, 4, 16)):
+                          chunk_steps: int = 96, buckets=(1, 4, 16),
+                          warm_duals: DualState | None = None,
+                          return_duals: bool = False):
     """Batched flat solve that compacts surviving lanes every `chunk_steps`
     evaluations.
 
@@ -970,41 +1055,16 @@ def _solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
     p = lbfgs_params_from(cfg)
     if lbfgs_overrides:
         p = dataclasses.replace(p, **lbfgs_overrides)
+    (run_fn, take_fn, small_fn, scal_fn, init_cold, init_warm,
+     finalize) = _compacted_fns(shape, cfg, p, chunk_steps, return_duals)
 
-    scalings = jax.jit(lambda xs, bs, g: jax.vmap(
-        lambda x, b: _make_scaling(x, b, shape, g, cfg))(xs, bs))(
-        x0s, bounds, grid)
-    states = jax.jit(jax.vmap(lambda x: flat_init(x, shape, cfg, p)))(x0s)
+    scalings = scal_fn(x0s, bounds, grid)
+    if warm_duals is None:
+        states = init_cold(x0s)
+    else:
+        states = init_warm(x0s, warm_duals)
 
     sizes = sorted({max(1, B // b) for b in buckets} | {B}, reverse=True)
-    run_fns, take_fns, small_fns = {}, {}, {}
-
-    def get_run(n):
-        if n not in run_fns:
-            run_fns[n] = jax.jit(lambda st, bd, sc, g: jax.vmap(
-                lambda s_, b_, c_: flat_run(s_, b_, c_, shape, g, cfg, p,
-                                            chunk_steps))(st, bd, sc))
-        return run_fns[n]
-
-    def get_take(key):
-        if key not in take_fns:
-            take_fns[key] = jax.jit(
-                lambda tree, ii: jax.tree.map(lambda a: a[ii], tree))
-        return take_fns[key]
-
-    def get_small(n):
-        # in-loop residuals are authoritative: the split hi+lo packed
-        # table's <=4e-6 field error is three orders below epsilon_con, so
-        # no exact re-evaluation pass is needed at chunk boundaries (the
-        # round-2 flat-bf16 table paid one full constraint pass per round)
-        if n not in small_fns:
-            def small(st, bd, sc, g):
-                return _SmallResult(
-                    x=st.x, o_it=st.o_it, inner_iters=st.inner_iters,
-                    res_h=st.res_h, res_g=st.res_g,
-                    lb_status=st.lb_status, evals=st.evals)
-            small_fns[n] = jax.jit(small)
-        return small_fns[n]
 
     # host-side accumulators for the small result
     acc = None
@@ -1014,19 +1074,28 @@ def _solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
 
     while True:
         nlive = len(idx)
-        out = get_run(cur_size)(cur[0], cur[1], cur[2], grid)
+        out = run_fn(cur[0], cur[1], cur[2], grid)
         done = np.asarray(out.done)[:nlive]
-        small = get_small(cur_size)(out, cur[1], cur[2], grid)
         fin = np.nonzero(done)[0]
-        host_small = None
         if fin.size or done.all():
-            host_small = jax.tree.map(lambda a: np.asarray(a), small)
+            # gather ONLY the finished lanes on device before pulling: the
+            # full small result is ~0.3 KB/lane and this tunnel moves ~MB/s,
+            # so pulling all live lanes every round cost seconds per solve
+            # (e23); padded to power-of-two widths for stable jit shapes
+            fw = 64
+            while fw < fin.size:
+                fw *= 2
+            fin_pad = np.concatenate(
+                [fin, np.zeros(fw - fin.size, np.int64)])[:fw]
+            small_fin = take_fn(small_fn(out), jnp.asarray(
+                fin_pad.astype(np.int32)))
+            host_small = jax.tree.map(lambda a: np.asarray(a), small_fin)
             if acc is None:
                 acc = jax.tree.map(
                     lambda a: np.zeros((B,) + a.shape[1:], a.dtype),
                     host_small)
             for f, hs in zip(acc, host_small):
-                f[idx[fin]] = hs[fin]
+                f[idx[fin]] = hs[:fin.size]
         still = np.nonzero(~done)[0]
         if still.size == 0:
             break
@@ -1034,28 +1103,24 @@ def _solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
                       default=sizes[0])
         pad = np.zeros(to_size - still.size, np.int32)
         ii = jnp.asarray(np.concatenate([still.astype(np.int32), pad]))
-        cur = get_take((cur_size, to_size))(
-            ((out, cur[1], cur[2])), ii)
-        cur = (cur[0], cur[1], cur[2])
+        cur = take_fn((out, cur[1], cur[2]), ii)
         idx = idx[still]
         cur_size = to_size
 
-    small_all = _SmallResult(*[jnp.asarray(a) for a in acc])
+    small_t = _SmallResultD if return_duals else _SmallResult
+    small_all = small_t(*[jnp.asarray(a) for a in acc])
     xs = small_all.x
-
-    def finalize(x, b):
-        c_xy, ts_xy, c_yaw, ts_yaw, _ = _coeffs(x, b, shape)
-        return SE2Traj(c_xy=c_xy, ts_xy=ts_xy, c_yaw=c_yaw, ts_yaw=ts_yaw)
-
-    traj = jax.jit(lambda xs_, bs: jax.vmap(finalize)(xs_, bs))(xs, bounds)
+    traj = finalize(xs, bounds)
     converged = jnp.maximum(small_all.res_h, small_all.res_g) \
         < cfg.epsilon_con
+    duals = (DualState(lam=small_all.lam, mu=small_all.mu,
+                       rho=small_all.rho) if return_duals else None)
     return ALMResult(x=xs, traj=traj, converged=converged,
                      outer_iters=small_all.o_it,
                      inner_iters=small_all.inner_iters,
                      res_h=small_all.res_h, res_g=small_all.res_g,
                      lbfgs_status=small_all.lb_status,
-                     evals=small_all.evals)
+                     evals=small_all.evals, duals=duals)
 
 
 # ---------------------------------------------------------------------------

@@ -63,6 +63,15 @@ class LBFGSParams:
     # A slack of a few f32 ulps restores narrow-width eval counts without
     # touching the ALM convergence test (which stays exact).
     f_noise_rel: float = 0.0
+    # Unroll the two-loop recursion at trace time (python loop) instead of
+    # lax.fori_loop.  Same operation sequence, so numerics are unchanged;
+    # the point is kernel count: under a vmapped while_loop body the 2*m
+    # fori iterations each dispatch their own dynamic-slice + dot kernels
+    # (~0.1-0.3 ms apiece on this tunneled TPU, e21/e22 round 4), which —
+    # not the terrain gather — is what dominates a production solver step.
+    # Unrolled, XLA fuses the chain into the step program.  Costs compile
+    # time, so off by default; the bench and batch drivers enable it.
+    two_loop_unroll: bool = False
 
 
 class _LSState(NamedTuple):
@@ -170,8 +179,11 @@ class _State(NamedTuple):
     status: jax.Array
 
 
-def _two_loop(g, S, Y, YS, end, bound, ys, yy, m):
-    """Masked two-loop recursion (lbfgs.hpp:687-710)."""
+def _two_loop(g, S, Y, YS, end, bound, ys, yy, m, unroll=False):
+    """Masked two-loop recursion (lbfgs.hpp:687-710).
+
+    unroll=True traces the 2*m iterations inline (identical op sequence,
+    so identical numerics) — see LBFGSParams.two_loop_unroll."""
     d = -g
     alpha = jnp.zeros((m,), g.dtype)
 
@@ -184,9 +196,6 @@ def _two_loop(g, S, Y, YS, end, bound, ys, yy, m):
         d = d - a * Y[j]
         return d, alpha.at[j].set(a)
 
-    d, alpha = jax.lax.fori_loop(0, m, bwd, (d, alpha))
-    d = d * (ys / yy)
-
     def fwd(i, d):
         j = jnp.mod(end - bound + i, m)
         valid = i < bound
@@ -194,6 +203,18 @@ def _two_loop(g, S, Y, YS, end, bound, ys, yy, m):
         b = jnp.where(valid, _dot(Y[j], d) / denom, 0.0)
         return d + jnp.where(valid, alpha[j] - b, 0.0) * S[j]
 
+    if unroll:
+        carry = (d, alpha)
+        for i in range(m):
+            carry = bwd(i, carry)
+        d, alpha = carry
+        d = d * (ys / yy)
+        for i in range(m):
+            d = fwd(i, d)
+        return d
+
+    d, alpha = jax.lax.fori_loop(0, m, bwd, (d, alpha))
+    d = d * (ys / yy)
     return jax.lax.fori_loop(0, m, fwd, d)
 
 
@@ -236,7 +257,8 @@ def minimize(fun: Callable[[jax.Array], Tuple[jax.Array, jax.Array]],
         ys = jnp.where(use_mem, s.YS[newest], 1.0)
         yy = jnp.where(use_mem,
                        _dot(s.Y[newest], s.Y[newest]), 1.0)
-        d_mem = _two_loop(s.g, s.S, s.Y, s.YS, s.end, s.bound, ys, yy, m)
+        d_mem = _two_loop(s.g, s.S, s.Y, s.YS, s.end, s.bound, ys, yy, m,
+                          unroll=p.two_loop_unroll)
         # nonfinite two-loop output (pathological memory) -> steepest descent
         d = jnp.where(use_mem & jnp.all(jnp.isfinite(d_mem)), d_mem, -s.g)
 

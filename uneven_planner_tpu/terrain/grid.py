@@ -71,7 +71,7 @@ class TerrainGrid:
     # dominant cost; measured 90% of the fused eval).  hi + lo
     # reconstructs the field to <= ~4e-6 relative — far below the solver
     # tolerances, unlike the abandoned single-bf16 variant whose ~4e-3
-    # noise broke the line search (PLATFORM_NOTES.md §8b).  Built by
+    # noise broke the line search (PLATFORM_NOTES.md §8).  Built by
     # `with_packed_table`; None disables the 2-item fast path.
     data_packed: jax.Array | None = None
     # Static geometry (hashable; changing them retriggers jit).
@@ -354,6 +354,78 @@ def terrain_sigma(grid: TerrainGrid, pos: jax.Array) -> jax.Array:
     return get_terrain(grid, pos)[1]
 
 
+def is_occupancy_xy_batch(grid: TerrainGrid, px: jax.Array,
+                          py: jax.Array) -> jax.Array:
+    """[M] 2D occupancy from [M] coordinate vectors — channel-major batch
+    form of `is_occupancy_xy` (uneven_map.h:490-500).  The gather result is
+    an [M]-minor bool vector, so large batches pay no (8, 128) lane padding
+    (the scalar form under a wide vmap materializes awkward index tensors)."""
+    nx, ny, _ = grid.voxel_num
+    ox, oy, _ = grid.origin
+    ix = jnp.floor((px - ox) / grid.xy_resolution).astype(jnp.int32)
+    iy = jnp.floor((py - oy) / grid.xy_resolution).astype(jnp.int32)
+    inside = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+    lin = jnp.clip(ix, 0, nx - 1) * ny + jnp.clip(iy, 0, ny - 1)
+    occ = jnp.take(grid.occ_xy.reshape(-1), lin, mode="clip")
+    return jnp.where(inside, occ, True)
+
+
+def terrain_sigma_cm(grid: TerrainGrid, px: jax.Array, py: jax.Array,
+                     yaw: jax.Array) -> jax.Array:
+    """[M] interpolated sigma from [M] coordinate vectors (yaw normalized
+    into [-pi, pi)), channel-major.
+
+    The batched front end scores every expansion candidate by flatness
+    (kino_astar.cpp:187-195 w_sigma term); routing it through the scalar
+    `get_terrain` under a wide vmap materializes a [..., 2,2,2,4] corner
+    tensor whose 4-minor dim pays 32x (8, 128) tile padding — a 21.5 GiB
+    allocation at frontend-bench scale (the round-3 OOM).  This path
+    gathers from the packed/pair tables when attached (2/4 items per
+    lookup) or 8 single-float sigma items otherwise; every result is
+    [M]-minor."""
+    if grid.data_packed is not None:
+        return get_terrain_variables_cm_packed(grid, px, py, yaw)[6]
+    if grid.data_pair is not None:
+        return get_terrain_variables_cm(grid, px, py, yaw)[6]
+
+    nx, ny, nyaw = grid.voxel_num
+    res = grid.xy_resolution
+    yres = grid.yaw_resolution
+    ox, oy, oyaw = grid.origin
+    ixf = jnp.floor((px - 0.5 * res - ox) / res)
+    iyf = jnp.floor((py - 0.5 * res - oy) / res)
+    ywm = normalize_so2(yaw - 0.5 * yres)
+    iwf = jnp.floor((ywm - oyaw) / yres)
+    wx = (px - ((ixf + 0.5) * res + ox)) / res
+    wy = (py - ((iyf + 0.5) * res + oy)) / res
+    wt = so2_diff(yaw, (iwf + 0.5) * yres + oyaw) / yres
+
+    ix0 = jnp.clip(ixf.astype(jnp.int32), 0, nx - 1)
+    ix1 = jnp.clip(ixf.astype(jnp.int32) + 1, 0, nx - 1)
+    iy0 = jnp.clip(iyf.astype(jnp.int32), 0, ny - 1)
+    iy1 = jnp.clip(iyf.astype(jnp.int32) + 1, 0, ny - 1)
+    iw0 = jnp.mod(iwf.astype(jnp.int32), nyaw)
+    iw1 = jnp.mod(iwf.astype(jnp.int32) + 1, nyaw)
+
+    sig_flat = grid.data[..., 1].reshape(-1)
+    M = px.shape[0]
+    idx8 = jnp.stack([((ix0 * ny + iy0) * nyaw + iw0),
+                      ((ix0 * ny + iy0) * nyaw + iw1),
+                      ((ix0 * ny + iy1) * nyaw + iw0),
+                      ((ix0 * ny + iy1) * nyaw + iw1),
+                      ((ix1 * ny + iy0) * nyaw + iw0),
+                      ((ix1 * ny + iy0) * nyaw + iw1),
+                      ((ix1 * ny + iy1) * nyaw + iw0),
+                      ((ix1 * ny + iy1) * nyaw + iw1)])     # [8, M]
+    v = jnp.take(sig_flat, idx8.reshape(-1), mode="clip").reshape(8, M)
+    vt = v[0::2] * (1.0 - wt) + v[1::2] * wt   # [4, M] = (x0y0,x0y1,x1y0,x1y1)
+    vy = vt[0::2] * (1.0 - wy) + vt[1::2] * wy              # [2, M] = (x0,x1)
+    val = vy[0] * (1.0 - wx) + vy[1] * wx
+    inside = (px > ox + 1e-4) & (px < ox + nx * res - 1e-4) \
+        & (py > oy + 1e-4) & (py < oy + ny * res - 1e-4)
+    return jnp.where(inside, val, 0.0)
+
+
 # ---------------------------------------------------------------------------
 # Batched lookups (the solver hot path)
 # ---------------------------------------------------------------------------
@@ -394,7 +466,7 @@ def with_packed_table(grid: TerrainGrid) -> TerrainGrid:
     the kernel reconstructs value = hi + lo with <= ~4e-6 relative error
     (two bf16 roundings, 2^-9 each) — two orders of magnitude below the
     Lewis-Overton delta=1e-4 that killed the round-2 flat-bf16 table
-    (PLATFORM_NOTES.md §8b: its ~4e-3 field noise cost 4x MORE evals).
+    (PLATFORM_NOTES.md §8: its ~4e-3 field noise cost 4x MORE evals).
     One trilinear lookup gathers only the 2 x-corner columns — half the
     items of `data_pair` (the XLA gather unit's cost is item COUNT,
     PLATFORM_NOTES.md §4b/§5).

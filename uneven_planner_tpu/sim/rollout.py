@@ -195,6 +195,10 @@ def track_trajectory_batched(traj: SE2Traj, start_states, cfg: MPCConfig,
     the pipeline case) vs one shared trajectory (the figure-eight bench).
     """
     B = start_states.shape[0]
+    # joint (batch x chunk) safety envelope from the round-4 fault map:
+    # (8 x 50) and (256 x 8) execute, (8 x 150) and (256 x 25) crash the
+    # worker — cap the per-dispatch product with margin
+    chunk_ticks = max(4, min(chunk_ticks, 2048 // max(B, 1)))
     dtype = start_states.dtype
     T = cfg.predict_steps
     d = max(cfg.delay_num, 1)

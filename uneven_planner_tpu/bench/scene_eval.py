@@ -140,7 +140,6 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
     res = jax.tree.map(np.asarray, res)
     wall = time.time() - t0
 
-    ok = res.plan_success & res.alm_converged
     # 6-metric report on planned lanes: same solver config as the pipeline
     # run (a metrics report from a different config would be a different
     # optimizer's trajectories)
@@ -149,6 +148,16 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
     mm = jax.tree.map(np.asarray, metrics_fn(grid, ares.traj))
     conv = np.asarray(ares.converged)
     a = scfg.alm
+    # Acceptance follows the reference exit flow: ALMTrajOpt publishes the
+    # trajectory when the outer loop ends, converged OR at the iteration
+    # cap with a small residual (alm_traj_opt.cpp:265-278) — on forest
+    # (rho_T=500, max_sig=1e-3, scaling off) the cap exit is the NORMAL
+    # outcome, with res_g ~ 0.01-0.02.  `alm_convergence_rate` stays the
+    # strict epsilon_con test; `alm_accepted_rate` is the cap-exit window.
+    res_h = np.asarray(ares.res_h)
+    res_g = np.asarray(ares.res_g)
+    accepted = (res_h < 5e-3) & (res_g < 0.05)
+    ok = res.plan_success & accepted
 
     def _agg(key, lo=False):
         vals = mm[key][conv]
@@ -167,6 +176,10 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
         "wall_s": round(wall, 2),
         "frontend_success_rate": float(res.plan_success.mean()),
         "alm_convergence_rate": float(conv.mean()),
+        "alm_accepted_rate": float(accepted.mean()),
+        "accept_criterion": "res_h<5e-3 & res_g<0.05 (cap-exit window, alm_traj_opt.cpp:265-278)",
+        "res_h_p95": float(np.percentile(res_h, 95)),
+        "res_g_p95": float(np.percentile(res_g, 95)),
         "pipeline_success_rate": float(ok.mean()),
         "mean_track_err_m": float(res.mean_track_err[ok].mean())
         if ok.any() else None,

@@ -38,8 +38,16 @@ _P = jax.lax.Precision.HIGHEST
 
 
 class CloudBuckets(NamedTuple):
-    """Dense xy bucket grid over the padded point cloud."""
-    points: jax.Array    # [M, 3] padded with a far sentinel point
+    """Dense xy bucket grid over the padded point cloud.
+
+    Coordinates are stored as three separate [M] vectors (NOT one [M, 3]
+    tensor): every per-cell gather result then stays [C]-minor, where a
+    [C, 3]-minor gather pays 42x (8, 128) tile padding under the chunked
+    vmap — a 34.7 GiB allocation on the mountain scene's K=1035 buckets
+    (round-4 OOM, same class as the round-3 frontend OOM)."""
+    px: jax.Array        # [M] padded with a far sentinel point
+    py: jax.Array
+    pz: jax.Array
     bucket_idx: jax.Array  # [nbx, nby, K] indices into points (M = invalid)
     origin: tuple        # bucket grid origin (static)
     size: float          # bucket edge length (static)
@@ -71,7 +79,9 @@ def build_buckets(points: np.ndarray, cfg: MapConfig,
         bucket[b, :c] = order[starts[b]:starts[b] + c]
     # sentinel point far away so invalid gathers fail every membership test
     pts_pad = np.concatenate([points, [[1e6, 1e6, 1e6]]], axis=0)
-    return CloudBuckets(points=jnp.asarray(pts_pad, jnp.float32),
+    return CloudBuckets(px=jnp.asarray(pts_pad[:, 0], jnp.float32),
+                        py=jnp.asarray(pts_pad[:, 1], jnp.float32),
+                        pz=jnp.asarray(pts_pad[:, 2], jnp.float32),
                         bucket_idx=jnp.asarray(
                             bucket.reshape(nbx, nby, K)),
                         origin=(float(lo[0]), float(lo[1])),
@@ -130,32 +140,48 @@ def _fit_cell(cell_pos, prev, buckets: CloudBuckets, cfg: MapConfig,
         (bx - 1, by - 1, jnp.zeros((), jnp.int32)),
         (3, 3, buckets.bucket_idx.shape[-1]))
     idx = neigh.reshape(-1)
-    pts = buckets.points[idx]                      # [C, 3]
-    valid = idx < (buckets.points.shape[0] - 1)
+    # channel-major coordinate gathers: three [C] vectors, no [C, 3] tensor
+    gx = buckets.px[idx]
+    gy = buckets.py[idx]
+    gz = buckets.pz[idx]
+    valid = idx < (buckets.px.shape[0] - 1)
+    dtype = gx.dtype
 
     # z seed: nearest xy point (iteration 0 only, uneven_map.cpp:346-355)
     if first_iter:
-        d2 = jnp.sum((pts[:, :2] - world_xy) ** 2, axis=1)
+        d2 = (gx - world_xy[0]) ** 2 + (gy - world_xy[1]) ** 2
         d2 = jnp.where(valid, d2, jnp.inf)
-        z0 = pts[jnp.argmin(d2), 2]
+        z0 = gz[jnp.argmin(d2)]
         z0 = jnp.where(jnp.any(valid), z0, prev[0])
     else:
         z0 = prev[0]
-    world_pos = jnp.array([world_xy[0], world_xy[1], z0])
 
     # robot-aligned ellipsoid membership (uneven_map.cpp:363-378)
-    rel = pts - world_pos
-    in_rob = jnp.einsum("ij,cj->ci", RT, rel, precision=_P)
-    inv_ell = jnp.array([1.0 / cfg.ellipsoid_x, 1.0 / cfg.ellipsoid_y,
-                         1.0 / cfg.ellipsoid_z], dtype=pts.dtype)
-    member = valid & (jnp.sum((in_rob * inv_ell) ** 2, axis=1) < 1.0)
+    rx = gx - world_xy[0]
+    ry = gy - world_xy[1]
+    rz = gz - z0
+    ax = RT[0, 0] * rx + RT[0, 1] * ry + RT[0, 2] * rz
+    ay = RT[1, 0] * rx + RT[1, 1] * ry + RT[1, 2] * rz
+    az = RT[2, 0] * rx + RT[2, 1] * ry + RT[2, 2] * rz
+    member = valid & ((ax / cfg.ellipsoid_x) ** 2
+                      + (ay / cfg.ellipsoid_y) ** 2
+                      + (az / cfg.ellipsoid_z) ** 2 < 1.0)
     n = jnp.sum(member)
 
-    w = member.astype(pts.dtype)
-    denom = jnp.maximum(n.astype(pts.dtype), 1.0)
-    mean = jnp.sum(pts * w[:, None], axis=0) / denom
-    rel_m = (pts - mean) * w[:, None]
-    cov = jnp.matmul(rel_m.T, rel_m, precision=_P) / denom
+    w = member.astype(dtype)
+    denom = jnp.maximum(n.astype(dtype), 1.0)
+    mx = jnp.sum(gx * w) / denom
+    my = jnp.sum(gy * w) / denom
+    mz = jnp.sum(gz * w) / denom
+    mean = jnp.stack([mx, my, mz])
+    cx, cy, cz = (gx - mx) * w, (gy - my) * w, (gz - mz) * w
+    # cov = rel_m.T @ rel_m / denom via the six weighted coordinate sums
+    # (w is 0/1 so w**2 == w, matching the original rel_m outer product)
+    cov = jnp.stack([
+        jnp.stack([jnp.sum(cx * cx), jnp.sum(cx * cy), jnp.sum(cx * cz)]),
+        jnp.stack([jnp.sum(cx * cy), jnp.sum(cy * cy), jnp.sum(cy * cz)]),
+        jnp.stack([jnp.sum(cx * cz), jnp.sum(cy * cz), jnp.sum(cz * cz)]),
+    ]) / denom
 
     evals, v = _eigh3_smallest(cov)
     v = jnp.where(v[2] < 0.0, -v, v)
@@ -165,10 +191,10 @@ def _fit_cell(cell_pos, prev, buckets: CloudBuckets, cfg: MapConfig,
     # degenerate fit -> sigma 1, n=(1,0,0) (uneven_map.cpp:33-37)
     bad = ~jnp.isfinite(sigma) | (tr <= 1e-20)
     sigma = jnp.where(bad, 1.0, sigma)
-    v = jnp.where(bad, jnp.array([1.0, 0.0, 0.0], pts.dtype), v)
+    v = jnp.where(bad, jnp.array([1.0, 0.0, 0.0], dtype), v)
 
     fitted = jnp.array([mean[2], sigma, v[0], v[1]])
-    empty_val = jnp.array([world_pos[2], 0.0, 0.0, 0.0])
+    empty_val = jnp.array([z0, 0.0, 0.0, 0.0])
     return jnp.where(n > 0, fitted, empty_val)
 
 

@@ -116,11 +116,16 @@ def main():
             sys.stderr.write(r.stderr[-8000:])
             local["extra"] = _last_json_lines(r.stdout)
             for m in local["extra"]:
-                sys.stderr.write(json.dumps(m) + "\n")
+                # non-JSON prefix: extras must never be parseable as the
+                # headline by a driver that merges/greps streams (the
+                # round-4 artifact recorded a control metric that way)
+                sys.stderr.write("extra: " + json.dumps(m) + "\n")
         except Exception as e:
             sys.stderr.write(f"extras subprocess failed: {e!r}\n")
         with open(local_path, "w") as f:
             json.dump(local, f, indent=1)
+        # driver contract: the headline is also the LAST JSON line on stdout
+        print(json.dumps(headline), flush=True)
 
 
 # ---------------------------------------------------------------------------

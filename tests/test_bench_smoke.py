@@ -35,10 +35,15 @@ def test_bench_contract_tiny(tmp_path):
                        capture_output=True, text=True, env=env, timeout=800)
     assert r.returncode == 0, r.stderr[-2000:]
 
-    # THE driver contract: stdout is exactly one JSON line
+    # THE driver contract: every stdout line is the headline JSON, and the
+    # LAST parseable line is the headline (round-5 hardening: the headline
+    # is re-emitted after the extras so a driver that takes the last JSON
+    # line can never pick up an extra metric instead)
     lines = [ln for ln in r.stdout.splitlines() if ln.strip()]
-    assert len(lines) == 1, f"stdout must be exactly one line: {lines}"
-    headline = json.loads(lines[0])
+    assert lines, "stdout must contain the headline"
+    parsed = [json.loads(ln) for ln in lines]
+    headline = parsed[-1]
+    assert all(p == headline for p in parsed), parsed
     assert headline["metric"] == "minco_alm_solves_per_sec_per_chip_hill"
     assert headline["unit"] == "solves/s"
     assert "error" not in headline, headline

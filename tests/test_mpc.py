@@ -284,6 +284,52 @@ def test_mpc_golden_control_sequence_parity_f64():
     assert worst < 1e-3, f"max control-sequence error {worst:.2e}"
 
 
+def test_condensed_qp_matches_full_qp_f64():
+    """The inputs-only condensed QP (assemble_qp_condensed) must have the
+    SAME unique input optimum u* as the full state+input QP — the state
+    elimination is exact because the reference QP has no state bounds
+    (mpc.cpp:387-511).  Solved with the certified f64 active-set oracle on
+    both forms at random linearization points."""
+    from uneven_planner_tpu.utils import qp_ref
+
+    rng = np.random.default_rng(7)
+    for model in (tracker.DIFF, tracker.ACKER):
+        cfg = dataclasses.replace(MPCConfig(), model_type=model,
+                                  predict_steps=12)
+        T, d = cfg.predict_steps, cfg.delay_num
+        H = T - d
+        dimx = 3 * H
+        for _ in range(3):
+            # realistic tick data: smooth arc reference, small perturbed
+            # inputs (fully random QPs can defeat the active-set oracle's
+            # certification; production-shaped ones are what parity is for)
+            curv = rng.uniform(-0.8, 0.8)
+            v0 = rng.uniform(0.2, 0.5)
+            ts = np.arange(T) * cfg.dt
+            yawr = curv * v0 * ts
+            xr = np.cumsum(v0 * cfg.dt * np.cos(yawr))
+            yr = np.cumsum(v0 * cfg.dt * np.sin(yawr))
+            state = jnp.asarray(
+                [xr[0] + rng.normal() * 0.03, yr[0] + rng.normal() * 0.03,
+                 yawr[0] + rng.normal() * 0.05], jnp.float64)
+            output = jnp.asarray(np.stack([
+                np.full(T, v0) + rng.normal(size=T) * 0.02,
+                np.full(T, curv * 0.1) + rng.normal(size=T) * 0.02]),
+                jnp.float64)
+            xref = jnp.asarray(np.stack([xr, yr, yawr]), jnp.float64)
+            dref = jnp.zeros_like(xref[:2])
+            xbar = tracker.predict_motion(state, output, cfg)
+            full = [np.asarray(a, np.float64) for a in
+                    tracker.assemble_qp(xbar, output, xref, dref, cfg)]
+            cond = [np.asarray(a, np.float64) for a in
+                    tracker.assemble_qp_condensed(xbar, output, xref, dref,
+                                                  cfg)]
+            z_full, _ = qp_ref.solve_qp_f64(*full)
+            u_cond, _ = qp_ref.solve_qp_f64(*cond)
+            np.testing.assert_allclose(u_cond, z_full[dimx:],
+                                       rtol=1e-6, atol=1e-8)
+
+
 def test_pure_jax_cholesky_matches_lapack():
     """_chol_upper_jax (the TPU path that avoids the crashing batched
     Cholesky custom-call) must match LAPACK's factor."""

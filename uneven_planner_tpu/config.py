@@ -191,6 +191,13 @@ class MPCConfig:
     # miscompiles (see admm_qp.py).  ~covers warm-started MPC QPs at 1e-6
     # tolerances with margin.
     qp_scan_iters: int = 400
+    # Condense the QP to inputs-only (exact: the reference QP has no state
+    # bounds, mpc.cpp:387-511, so states are eliminated through the
+    # linearized dynamics).  n drops 5H -> 2H: ~15x cheaper KKT
+    # factorizations (the dominant per-tick cost on this TPU) at the same
+    # unique optimum — the golden-parity gate (tests/test_mpc.py) runs
+    # against the f64 full-QP KKT oracle either way.
+    qp_condense: bool = True
     # In-loop adaptive rho (OSQP §5.2) refactorizes the KKT inside the ADMM
     # loop; under vmap lax.cond evaluates BOTH branches, so every iteration
     # would pay a full refactorization (measured 4.8 s/tick).  The tracking

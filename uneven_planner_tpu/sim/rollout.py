@@ -197,8 +197,22 @@ def track_trajectory_batched(traj: SE2Traj, start_states, cfg: MPCConfig,
     B = start_states.shape[0]
     # joint (batch x chunk) safety envelope from the round-4 fault map:
     # (8 x 50) and (256 x 8) execute, (8 x 150) and (256 x 25) crash the
-    # worker — cap the per-dispatch product with margin
-    chunk_ticks = max(4, min(chunk_ticks, 2048 // max(B, 1)))
+    # worker — cap the per-dispatch product with margin.  For B > 512 the
+    # per-chunk tick count would fall below a useful size (and a floor
+    # would silently break the <=2048 lane-tick envelope), so split the
+    # batch into sub-batches instead and keep >=4 ticks per dispatch.
+    max_sub = 2048 // 4
+    if B > max_sub:
+        subs = [
+            track_trajectory_batched(
+                jax.tree.map(lambda a: a[i:i + max_sub], traj)
+                if traj_batched else traj,
+                start_states[i:i + max_sub], cfg, n_steps, ctrl_dt,
+                max_sqp_iter, plant_params, chunk_ticks, traj_batched)
+            for i in range(0, B, max_sub)]
+        return TrackResult(*(jnp.concatenate(parts, axis=0)
+                             for parts in zip(*subs)))
+    chunk_ticks = max(1, min(chunk_ticks, 2048 // max(B, 1)))
     dtype = start_states.dtype
     T = cfg.predict_steps
     d = max(cfg.delay_num, 1)

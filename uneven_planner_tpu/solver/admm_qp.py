@@ -43,7 +43,12 @@ def _chol_upper_jax(M):
     idx = jnp.arange(n)
 
     def body(j, K):
-        pivot = jnp.sqrt(jnp.maximum(K[j, j], 1e-30))
+        # No pivot clamp: a non-positive diagonal (numerically indefinite
+        # KKT) must surface as NaN/inf in the factor so downstream residual
+        # checks can detect the failed factorization — a clamped pivot
+        # would yield a finite-but-garbage inverse with no failure signal
+        # (LAPACK cho_factor reports failure; this is the analog).
+        pivot = jnp.sqrt(K[j, j])
         col = K[:, j] / pivot
         below = idx > j
         col_m = jnp.where(below, col, 0.0)

@@ -588,3 +588,379 @@ double dubins_distance(const double* q0, const double* q1, double rho) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// L3 golden oracle: MINCO generate (block-tridiagonal 6N solve,
+// se2traj.hpp:595-680) and the ALM inner cost at a fixed iterate
+// (alm_traj_opt.cpp:280-347 innerCallback + :663-991 calConstrainCostGrad,
+// forward value).  Freshly written f64 twins of the same math — the
+// cross-implementation oracle SURVEY.md §4 requires for the L3 stack; the
+// JAX coefficients, cost, and (via central differences on this cost)
+// gradient are tested against these in tests/test_native.py.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Solve A x = b for a 6x6 system, Gaussian elimination w/ partial pivoting.
+// A and b are overwritten; x lands in b (ncols right-hand sides).
+bool solve6(double A[36], double* b, int ncols) {
+  for (int k = 0; k < 6; k++) {
+    int p = k;
+    for (int i = k + 1; i < 6; i++)
+      if (std::fabs(A[6 * i + k]) > std::fabs(A[6 * p + k])) p = i;
+    if (std::fabs(A[6 * p + k]) < 1e-300) return false;
+    if (p != k) {
+      for (int j = 0; j < 6; j++) std::swap(A[6 * p + j], A[6 * k + j]);
+      for (int j = 0; j < ncols; j++)
+        std::swap(b[ncols * p + j], b[ncols * k + j]);
+    }
+    for (int i = k + 1; i < 6; i++) {
+      double f = A[6 * i + k] / A[6 * k + k];
+      A[6 * i + k] = 0.0;
+      for (int j = k + 1; j < 6; j++) A[6 * i + j] -= f * A[6 * k + j];
+      for (int j = 0; j < ncols; j++)
+        b[ncols * i + j] -= f * b[ncols * k + j];
+    }
+  }
+  for (int k = 5; k >= 0; k--) {
+    for (int j = 0; j < ncols; j++) {
+      double s = b[ncols * k + j];
+      for (int i = k + 1; i < 6; i++) s -= A[6 * k + i] * b[ncols * i + j];
+      b[ncols * k + j] = s / A[6 * k + k];
+    }
+  }
+  return true;
+}
+
+void beta_rows(double t, double b0[6], double b1[6], double b2[6]) {
+  double t2 = t * t, t3 = t2 * t, t4 = t3 * t, t5 = t4 * t;
+  double v0[6] = {1, t, t2, t3, t4, t5};
+  double v1[6] = {0, 1, 2 * t, 3 * t2, 4 * t3, 5 * t4};
+  double v2[6] = {0, 0, 2, 6 * t, 12 * t2, 20 * t3};
+  std::memcpy(b0, v0, sizeof v0);
+  std::memcpy(b1, v1, sizeof v1);
+  std::memcpy(b2, v2, sizeof v2);
+}
+
+}  // namespace
+
+extern "C" {
+
+// MINCO s=3 generate: block-tridiagonal Thomas over 6x6 blocks.
+// inner [(N-1)*dim] row-major, ts [N], head/tail [3*dim] row-major
+// (pos; vel; acc).  coeffs_out [N*6*dim] ascending powers.  Returns 0 ok.
+int minco_generate(int N, int dim, const double* inner, const double* ts,
+                   const double* head, const double* tail,
+                   double* coeffs_out) {
+  if (N < 2 || dim < 1 || dim > 4) return -1;
+  std::vector<double> D(36 * N, 0.0), U(36 * N, 0.0), L(36 * N, 0.0),
+      rhs(6 * dim * N, 0.0);
+  std::vector<double> b0(6 * N), b1(6 * N), b2(6 * N);
+  for (int i = 0; i < N; i++)
+    beta_rows(ts[i], &b0[6 * i], &b1[6 * i], &b2[6 * i]);
+
+  // diagonal blocks
+  D[0 * 36 + 0 * 6 + 0] = 1.0;
+  D[0 * 36 + 1 * 6 + 1] = 1.0;
+  D[0 * 36 + 2 * 6 + 2] = 2.0;
+  for (int i = 1; i < N; i++) {
+    D[i * 36 + 0 * 6 + 0] = -1.0;
+    D[i * 36 + 1 * 6 + 1] = -1.0;
+    D[i * 36 + 2 * 6 + 2] = -2.0;
+  }
+  for (int i = 0; i < N - 1; i++) {
+    D[i * 36 + 3 * 6 + 3] = 6.0;
+    D[i * 36 + 3 * 6 + 4] = 24.0 * ts[i];
+    D[i * 36 + 3 * 6 + 5] = 60.0 * ts[i] * ts[i];
+    D[i * 36 + 4 * 6 + 4] = 24.0;
+    D[i * 36 + 4 * 6 + 5] = 120.0 * ts[i];
+    for (int j = 0; j < 6; j++) D[i * 36 + 5 * 6 + j] = b0[6 * i + j];
+    // super-diagonal: jerk/snap continuity into next piece
+    U[i * 36 + 3 * 6 + 3] = -6.0;
+    U[i * 36 + 4 * 6 + 4] = -24.0;
+  }
+  for (int j = 0; j < 6; j++) {
+    D[(N - 1) * 36 + 3 * 6 + j] = b0[6 * (N - 1) + j];
+    D[(N - 1) * 36 + 4 * 6 + j] = b1[6 * (N - 1) + j];
+    D[(N - 1) * 36 + 5 * 6 + j] = b2[6 * (N - 1) + j];
+  }
+  // sub-diagonal: pos/vel/acc continuity evaluated at previous piece end
+  for (int i = 1; i < N; i++)
+    for (int j = 0; j < 6; j++) {
+      L[i * 36 + 0 * 6 + j] = b0[6 * (i - 1) + j];
+      L[i * 36 + 1 * 6 + j] = b1[6 * (i - 1) + j];
+      L[i * 36 + 2 * 6 + j] = b2[6 * (i - 1) + j];
+    }
+  for (int r = 0; r < 3; r++)
+    for (int d = 0; d < dim; d++)
+      rhs[0 * 6 * dim + r * dim + d] = head[r * dim + d];
+  for (int i = 0; i < N - 1; i++)
+    for (int d = 0; d < dim; d++)
+      rhs[i * 6 * dim + 5 * dim + d] = inner[i * dim + d];
+  for (int r = 0; r < 3; r++)
+    for (int d = 0; d < dim; d++)
+      rhs[(N - 1) * 6 * dim + (3 + r) * dim + d] = tail[r * dim + d];
+
+  // block-tridiagonal forward elimination (Thomas on 6x6 blocks)
+  std::vector<double> Dw(36 * N), Uw(U), rw(rhs);
+  std::memcpy(Dw.data(), D.data(), sizeof(double) * 36 * N);
+  for (int i = 1; i < N; i++) {
+    // factor = L_i * inv(Dw_{i-1}): solve Dw_{i-1}^T y = L_i^T .. simpler:
+    // solve Dw_{i-1} X = [U_{i-1} | r_{i-1}] once, then subtract L_i @ X.
+    double A[36];
+    std::memcpy(A, &Dw[36 * (i - 1)], sizeof A);
+    std::vector<double> Bx(6 * (6 + dim));
+    for (int r = 0; r < 6; r++) {
+      for (int c = 0; c < 6; c++) Bx[r * (6 + dim) + c] = Uw[36 * (i - 1) + r * 6 + c];
+      for (int d = 0; d < dim; d++)
+        Bx[r * (6 + dim) + 6 + d] = rw[6 * dim * (i - 1) + r * dim + d];
+    }
+    if (!solve6(A, Bx.data(), 6 + dim)) return -2;
+    // Dw_i -= L_i @ X_U ; r_i -= L_i @ X_r
+    for (int r = 0; r < 6; r++)
+      for (int c = 0; c < 6; c++) {
+        double s = 0;
+        for (int k = 0; k < 6; k++)
+          s += L[36 * i + r * 6 + k] * Bx[k * (6 + dim) + c];
+        Dw[36 * i + r * 6 + c] -= s;
+      }
+    for (int r = 0; r < 6; r++)
+      for (int d = 0; d < dim; d++) {
+        double s = 0;
+        for (int k = 0; k < 6; k++)
+          s += L[36 * i + r * 6 + k] * Bx[k * (6 + dim) + 6 + d];
+        rw[6 * dim * i + r * dim + d] -= s;
+      }
+  }
+  // back substitution
+  std::vector<double> X(6 * dim * N);
+  {
+    double A[36];
+    std::memcpy(A, &Dw[36 * (N - 1)], sizeof A);
+    std::vector<double> b(rw.begin() + 6 * dim * (N - 1),
+                          rw.begin() + 6 * dim * N);
+    if (!solve6(A, b.data(), dim)) return -2;
+    std::memcpy(&X[6 * dim * (N - 1)], b.data(), sizeof(double) * 6 * dim);
+  }
+  for (int i = N - 2; i >= 0; i--) {
+    std::vector<double> b(rw.begin() + 6 * dim * i,
+                          rw.begin() + 6 * dim * (i + 1));
+    for (int r = 0; r < 6; r++)
+      for (int d = 0; d < dim; d++) {
+        double s = 0;
+        for (int k = 0; k < 6; k++)
+          s += Uw[36 * i + r * 6 + k] * X[6 * dim * (i + 1) + k * dim + d];
+        b[r * dim + d] -= s;
+      }
+    double A[36];
+    std::memcpy(A, &Dw[36 * i], sizeof A);
+    if (!solve6(A, b.data(), dim)) return -2;
+    std::memcpy(&X[6 * dim * i], b.data(), sizeof(double) * 6 * dim);
+  }
+  std::memcpy(coeffs_out, X.data(), sizeof(double) * 6 * dim * N);
+  return 0;
+}
+
+// Closed-form squared-jerk integral of an s=3 MINCO spline
+// (se2traj.hpp:697-710).
+double minco_jerk_cost(int N, int dim, const double* coeffs,
+                       const double* ts) {
+  double e = 0;
+  for (int i = 0; i < N; i++) {
+    const double* c = coeffs + 6 * dim * i;
+    double T1 = ts[i], T2 = T1 * T1, T3 = T2 * T1, T4 = T2 * T2,
+           T5 = T4 * T1;
+    double d33 = 0, d43 = 0, d44 = 0, d53 = 0, d54 = 0, d55 = 0;
+    for (int d = 0; d < dim; d++) {
+      double c3 = c[3 * dim + d], c4 = c[4 * dim + d], c5 = c[5 * dim + d];
+      d33 += c3 * c3; d43 += c4 * c3; d44 += c4 * c4;
+      d53 += c5 * c3; d54 += c5 * c4; d55 += c5 * c5;
+    }
+    e += 36.0 * d33 * T1 + 144.0 * d43 * T2 + 192.0 * d44 * T3 +
+         240.0 * d53 * T3 + 720.0 * d54 * T4 + 720.0 * d55 * T5;
+  }
+  return e;
+}
+
+struct InnerCostParams {
+  int nxy, nyaw, K;
+  double jerk_scale;    // scale_fx * scale_trick_jerk
+  double sigma_weight;  // rho_ter * scale_fx
+  double time_weight;   // rho_T * scale_fx
+  double max_vel, max_acc_lon, max_acc_lat, max_kap, min_cxi, max_sig;
+  double delta_sigl, gravity;
+  int gnx, gny, gnyaw;
+  double origin_x, origin_y, origin_yaw;
+  double xy_res, yaw_res;
+};
+
+}  // extern C (helpers below)
+
+namespace {
+
+// Trilinear (sigma, zb0, zb1) lookup + 7-tuple terrain variables
+// (uneven_map.h:154-201, 221-256; matches terrain/grid.py edge semantics:
+// clamped xy, wrapped yaw, out-of-xy-map -> zeros).
+void terrain_vars(const InnerCostParams* p, const double* gdata, double px,
+                  double py, double yaw, double tv[7]) {
+  double v[3] = {0, 0, 0};
+  bool inside = px > p->origin_x + 1e-4 &&
+                px < p->origin_x + p->gnx * p->xy_res - 1e-4 &&
+                py > p->origin_y + 1e-4 &&
+                py < p->origin_y + p->gny * p->xy_res - 1e-4;
+  if (inside) {
+    double mx = px - 0.5 * p->xy_res;
+    double my = py - 0.5 * p->xy_res;
+    double mw = norm_so2(yaw - 0.5 * p->yaw_res);
+    int ix = (int)std::floor((mx - p->origin_x) / p->xy_res);
+    int iy = (int)std::floor((my - p->origin_y) / p->xy_res);
+    int iw = (int)std::floor((mw - p->origin_yaw) / p->yaw_res);
+    double cx = (ix + 0.5) * p->xy_res + p->origin_x;
+    double cy = (iy + 0.5) * p->xy_res + p->origin_y;
+    double cw = (iw + 0.5) * p->yaw_res + p->origin_yaw;
+    double dx = (px - cx) / p->xy_res;
+    double dy = (py - cy) / p->xy_res;
+    double dw = std::atan2(std::sin(yaw - cw), std::cos(yaw - cw)) /
+                p->yaw_res;
+    for (int a = 0; a < 2; a++)
+      for (int b = 0; b < 2; b++)
+        for (int c = 0; c < 2; c++) {
+          int xx = std::max(0, std::min(ix + a, p->gnx - 1));
+          int yy = std::max(0, std::min(iy + b, p->gny - 1));
+          int ww = (((iw + c) % p->gnyaw) + p->gnyaw) % p->gnyaw;
+          double wgt = (a ? dx : 1 - dx) * (b ? dy : 1 - dy) *
+                       (c ? dw : 1 - dw);
+          const double* cell =
+              gdata + 4 * (((size_t)xx * p->gny + yy) * p->gnyaw + ww);
+          v[0] += wgt * cell[1];
+          v[1] += wgt * cell[2];
+          v[2] += wgt * cell[3];
+        }
+  }
+  double sig = v[0], zb0 = v[1], zb1 = v[2];
+  double c = std::sqrt(std::max(1.0 - zb0 * zb0 - zb1 * zb1, 1e-12));
+  double inv_c = 1.0 / c;
+  double cy = std::cos(yaw), sy = std::sin(yaw);
+  double t = cy * zb0 + sy * zb1;
+  double s = sy * zb0 - cy * zb1;
+  double sq = std::sqrt(std::max(1.0 - t * t, 1e-12));
+  double inv_sq = 1.0 / sq;
+  tv[0] = inv_sq;
+  tv[1] = -c * t * inv_sq;
+  tv[2] = sq * inv_c;
+  tv[3] = s * inv_sq;
+  tv[4] = c;
+  tv[5] = inv_c;
+  tv[6] = sig;
+}
+
+double expC2(double tau) {
+  return tau > 0.0 ? (0.5 * tau + 1.0) * tau + 1.0
+                   : 1.0 / ((0.5 * tau - 1.0) * tau + 1.0);
+}
+
+}  // namespace
+
+extern "C" {
+
+// ALM inner cost at a fixed iterate (forward value; innerCallback +
+// calConstrainCostGrad semantics as realized by solver/alm.py).
+//   x [1 + 2*(nxy-1) + (nyaw-1)], head/tail_xy [3*2], head/tail_yaw [3],
+//   lam [S], mu [6*S] (channel-major), scale_cx [7*S], gdata
+//   [gnx*gny*gnyaw*4].  Returns the scalar cost (NaN on error).
+double minco_inner_cost(const InnerCostParams* p, const double* gdata,
+                        const double* x, const double* head_xy,
+                        const double* tail_xy, const double* head_yaw,
+                        const double* tail_yaw, const double* lam,
+                        const double* mu, double rho,
+                        const double* scale_cx) {
+  int N = p->nxy, NY = p->nyaw, K = p->K;
+  int S = N * (K + 1);
+  double tau = x[0];
+  double T = expC2(tau);
+  double Tp_xy = T / N, Tp_yaw = T / NY;
+
+  std::vector<double> ts_xy(N, Tp_xy), ts_yaw(NY, Tp_yaw);
+  std::vector<double> cxy(6 * 2 * N), cyaw(6 * 1 * NY);
+  if (minco_generate(N, 2, x + 1, ts_xy.data(), head_xy, tail_xy,
+                     cxy.data()) != 0)
+    return std::nan("");
+  if (minco_generate(NY, 1, x + 1 + 2 * (N - 1), ts_yaw.data(), head_yaw,
+                     tail_yaw, cyaw.data()) != 0)
+    return std::nan("");
+
+  double jerk = minco_jerk_cost(N, 2, cxy.data(), ts_xy.data()) +
+                minco_jerk_cost(NY, 1, cyaw.data(), ts_yaw.data());
+
+  double cost = p->jerk_scale * jerk + p->time_weight * T;
+  double step = Tp_xy / K;
+
+  for (int i = 0; i < N; i++) {
+    for (int j = 0; j <= K; j++) {
+      int s_idx = i * (K + 1) + j;
+      double u = (double)j / K;
+      double tl = u * Tp_xy;
+      const double* c = &cxy[6 * 2 * i];
+      double pos[2] = {0, 0}, vel[2] = {0, 0}, acc[2] = {0, 0};
+      double b0[6], b1[6], b2[6];
+      beta_rows(tl, b0, b1, b2);
+      for (int k = 0; k < 6; k++)
+        for (int d = 0; d < 2; d++) {
+          pos[d] += b0[k] * c[k * 2 + d];
+          vel[d] += b1[k] * c[k * 2 + d];
+          acc[d] += b2[k] * c[k * 2 + d];
+        }
+      // yaw piece located by global time, same arithmetic as
+      // minco/uniform.sample_plan (the static fold of
+      // alm_traj_opt.cpp:747-764)
+      double g = (i + u) * ((double)NY / N);
+      int l = std::min((int)std::floor(g + 1e-12), NY - 1);
+      double tly = (g - l) * Tp_yaw;
+      double y0[6], y1[6], y2[6];
+      beta_rows(tly, y0, y1, y2);
+      double yaw = 0, dyaw = 0;
+      for (int k = 0; k < 6; k++) {
+        yaw += y0[k] * cyaw[6 * l + k];
+        dyaw += y1[k] * cyaw[6 * l + k];
+      }
+
+      double tv[7];
+      terrain_vars(p, gdata, pos[0], pos[1], norm_so2(yaw), tv);
+      double cyw = std::cos(yaw), syw = std::sin(yaw);
+      double v_norm =
+          std::sqrt(std::max(vel[0] * vel[0] + vel[1] * vel[1], 1e-24));
+      double lon = acc[0] * cyw + acc[1] * syw;
+      double lat = -acc[0] * syw + acc[1] * cyw;
+      double vx = v_norm * tv[0];
+      double wz = dyaw * tv[5];
+      double ax = lon * tv[0] + p->gravity * tv[1];
+      double ay = lat * tv[2] + p->gravity * tv[3];
+      double curv = wz * wz / (vx * vx + p->delta_sigl);
+      double nonh = vel[0] * syw - vel[1] * cyw;
+
+      double w = (j == 0 || j == K) ? 0.5 : 1.0;
+      cost += p->sigma_weight * step * w * tv[6] * tv[6];
+
+      double h = nonh * scale_cx[0 * S + s_idx];
+      cost += h * (lam[s_idx] + 0.5 * rho * h);
+
+      double graw[6] = {vx * vx - p->max_vel * p->max_vel,
+                        ax * ax - p->max_acc_lon * p->max_acc_lon,
+                        ay * ay - p->max_acc_lat * p->max_acc_lat,
+                        curv - p->max_kap * p->max_kap,
+                        p->min_cxi - tv[4],
+                        tv[6] - p->max_sig};
+      for (int cch = 0; cch < 6; cch++) {
+        double gc = graw[cch] * scale_cx[(1 + cch) * S + s_idx];
+        double m = mu[cch * S + s_idx];
+        if (rho * gc + m > 0)
+          cost += gc * (m + 0.5 * rho * gc);
+        else
+          cost += -0.5 * m * m / rho;
+      }
+    }
+  }
+  return cost;
+}
+
+}  // extern "C"

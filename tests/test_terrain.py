@@ -184,6 +184,41 @@ def test_packed_lookup_matches_exact_within_bf16(grid):
     assert rel.max() < 5e-5, rel.max()
 
 
+def test_packed16_lookup_matches_exact(grid):
+    """The f16 packed table: hi-only mode must match the exact path to the
+    f16 mantissa (~2.5e-4 relative on the stored field), exact mode (hi +
+    f16 residual) to ~2e-7 — including clamped xy edges and the yaw seam."""
+    g32 = tgrid.TerrainGrid(
+        data=jnp.asarray(np.asarray(grid.data, np.float32)),
+        occ=grid.occ, occ_xy=grid.occ_xy,
+        xy_resolution=grid.xy_resolution,
+        yaw_resolution=grid.yaw_resolution, origin=grid.origin)
+    g = tgrid.with_packed_f16(tgrid.with_pair_table(g32))
+    rng = np.random.default_rng(5)
+    M = 512
+    px = jnp.asarray(rng.uniform(-4.95, 4.95, M).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-4.95, 4.95, M).astype(np.float32))
+    yaw = jnp.asarray(rng.uniform(-np.pi, np.pi, M).astype(np.float32))
+    px = px.at[:8].set(jnp.asarray(g.origin[0] + 0.01, jnp.float32))
+    py = py.at[8:16].set(jnp.asarray(g.origin[1] + 0.01, jnp.float32))
+    px = px.at[16:24].set(jnp.asarray(-g.origin[0] - 0.01, jnp.float32))
+    yaw = yaw.at[24:32].set(jnp.asarray(np.pi - 1e-3, jnp.float32))
+    ex = np.asarray(tgrid.get_terrain_variables_cm(g, px, py, yaw,
+                                                   exact=True))
+    hi = np.asarray(tgrid.get_terrain_variables_cm_packed16(
+        g, px, py, yaw, exact=False))
+    full = np.asarray(tgrid.get_terrain_variables_cm_packed16(
+        g, px, py, yaw, exact=True))
+    rel_hi = np.abs(ex - hi) / np.maximum(np.abs(ex), 1.0)
+    rel_full = np.abs(ex - full) / np.maximum(np.abs(ex), 1.0)
+    assert rel_hi.max() < 4e-3, rel_hi.max()     # f16 + 7-tuple amplification
+    assert rel_full.max() < 1e-5, rel_full.max()
+    # dispatcher: exact=False must route through the f16 table when attached
+    via = np.asarray(tgrid.get_terrain_variables_cm(g, px, py, yaw,
+                                                    exact=False))
+    np.testing.assert_array_equal(via, hi)
+
+
 def test_mesh_to_cloud_roundtrip(tmp_path):
     """Mesh sampler (to_pcl.py equivalent): sample a unit-cube OBJ, check
     density/coverage, and round-trip through the PCD writer/reader."""

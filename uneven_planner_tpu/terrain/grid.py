@@ -74,6 +74,17 @@ class TerrainGrid:
     # noise broke the line search (PLATFORM_NOTES.md §8).  Built by
     # `with_packed_table`; None disables the 2-item fast path.
     data_packed: jax.Array | None = None
+    # Optional IEEE-f16 (y, yaw)-pair gather table [6, 2*Nx*Ny*Nyaw] f32:
+    # column (x, y, w) packs the 12 values {sigma, zb0, zb1} x
+    # {(y, w), (y, w+1), (y+1, w), (y+1, w+1)} as f16 pairs (two f16 per
+    # f32 word), with an f16 RESIDUAL column at offset Ncells.  One
+    # trilinear lookup gathers the 2 x-corner hi columns — 6-wide items,
+    # which the XLA gather unit moves at the flat <=8-word rate (~2x
+    # cheaper than the 12-wide packed items, e27/e28) — and, in exact
+    # mode, the 2 residual columns too.  hi-only reconstructs the field to
+    # <= ~2.5e-4 relative (f16 mantissa); hi+lo to <= ~2e-7.  Built by
+    # `with_packed_f16`; None disables this path.
+    data_packed16: jax.Array | None = None
     # Static geometry (hashable; changing them retriggers jit).
     xy_resolution: float = struct.field(pytree_node=False, default=0.05)
     yaw_resolution: float = struct.field(pytree_node=False, default=0.1)
@@ -383,6 +394,8 @@ def terrain_sigma_cm(grid: TerrainGrid, px: jax.Array, py: jax.Array,
     gathers from the packed/pair tables when attached (2/4 items per
     lookup) or 8 single-float sigma items otherwise; every result is
     [M]-minor."""
+    if grid.data_packed16 is not None:
+        return get_terrain_variables_cm_packed16(grid, px, py, yaw)[6]
     if grid.data_packed is not None:
         return get_terrain_variables_cm_packed(grid, px, py, yaw)[6]
     if grid.data_pair is not None:
@@ -490,6 +503,109 @@ def with_packed_table(grid: TerrainGrid) -> TerrainGrid:
                 words.append(((w0 << np.uint32(16)) | w1).astype(np.uint32))
     packed = np.stack(words).reshape(12, nx * ny * nyaw).view(np.float32)
     return grid.replace(data_packed=jnp.asarray(packed))
+
+
+def with_packed_f16(grid: TerrainGrid) -> TerrainGrid:
+    """Attach the IEEE-f16 hi + f16-residual packed (y, yaw)-pair table
+    (TerrainGrid.data_packed16).
+
+    Word layout per column (x, y, w), 6 f32 words:
+      word[2*ch + yy] = pack(f16 of v[ch, y+yy, w], f16 of v[ch, y+yy, w+1])
+    for ch in (sigma, zb0, zb1), yy in (0, 1); y+1 clipped, w+1 wrapped —
+    identical edge semantics to `with_packed_table`.  Column Ncells + i
+    holds the f16 residuals (v - f32(f16(v))), so hi+lo reconstructs to
+    <= ~2e-7 relative.  The point: 6-word items ride the XLA gather unit's
+    flat <=8-word rate (~2x cheaper per item than the 12-wide bf16-split
+    items), so a trilinear lookup costs 2 items hi-only (field error
+    ~2.5e-4) or 4 items exact — both cheaper than the 2x12-wide packed
+    lookup (measured, e27/e28)."""
+    import numpy as np
+    nx, ny, nyaw = grid.voxel_num
+    d = np.asarray(grid.data, np.float32)[..., 1:4]        # (sigma, zb0, zb1)
+    dw1 = np.roll(d, -1, axis=2)                           # w+1 (wrapped)
+    dy1 = d[:, np.minimum(np.arange(ny) + 1, ny - 1)]      # y+1 (clipped)
+    dy1w1 = np.roll(dy1, -1, axis=2)
+    corners = (d, dw1, dy1, dy1w1)                         # [nx,ny,nyaw,3]
+    his = [a.astype(np.float16) for a in corners]
+    los = [(a - h.astype(np.float32)).astype(np.float16)
+           for a, h in zip(corners, his)]
+
+    def words(part):
+        out = []
+        for ch in range(3):
+            for yy in range(2):
+                w0 = part[2 * yy][..., ch].view(np.uint16).astype(np.uint32)
+                w1 = part[2 * yy + 1][..., ch].view(np.uint16) \
+                    .astype(np.uint32)
+                out.append((w0 << np.uint32(16)) | w1)
+        return np.stack(out).reshape(6, nx * ny * nyaw)
+
+    packed = np.concatenate([words(his), words(los)],
+                            axis=1).view(np.float32)
+    return grid.replace(data_packed16=jnp.asarray(packed))
+
+
+def _unpack_f16_pair(words_u32):
+    """f32-bitcast words -> (v_w, v_w1) f32 values from packed f16 pairs."""
+    hi = jax.lax.bitcast_convert_type(
+        (words_u32 >> jnp.uint32(16)).astype(jnp.uint16), jnp.float16)
+    lo = jax.lax.bitcast_convert_type(
+        (words_u32 & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.float16)
+    return hi.astype(jnp.float32), lo.astype(jnp.float32)
+
+
+def get_terrain_variables_cm_packed16(grid: TerrainGrid, px: jax.Array,
+                                      py: jax.Array, yaw: jax.Array,
+                                      exact: bool = False) -> jax.Array:
+    """Channel-major terrain variables via the f16 packed table.
+
+    exact=False gathers only the 2 hi columns (2 six-wide items per
+    trilinear lookup, field error <= ~2.5e-4 relative); exact=True adds
+    the 2 residual columns (4 items, <= ~2e-7)."""
+    nx, ny, nyaw = grid.voxel_num
+    res = grid.xy_resolution
+    yres = grid.yaw_resolution
+    ox, oy, oyaw = grid.origin
+    ncells = nx * ny * nyaw
+
+    ixf = jnp.floor((px - 0.5 * res - ox) / res)
+    iyf = jnp.floor((py - 0.5 * res - oy) / res)
+    ywm = normalize_so2(yaw - 0.5 * yres)
+    iwf = jnp.floor((ywm - oyaw) / yres)
+    wx = (px - ((ixf + 0.5) * res + ox)) / res
+    # low-y edge handling identical to get_terrain_variables_cm_packed
+    wy = jnp.where(iyf < 0, 0.0, (py - ((iyf + 0.5) * res + oy)) / res)
+    wt = so2_diff(yaw, (iwf + 0.5) * yres + oyaw) / yres
+
+    ix0 = jnp.clip(ixf.astype(jnp.int32), 0, nx - 1)
+    ix1 = jnp.clip(ixf.astype(jnp.int32) + 1, 0, nx - 1)
+    iy0 = jnp.clip(iyf.astype(jnp.int32), 0, ny - 1)
+    iw = jnp.mod(iwf.astype(jnp.int32), nyaw)
+
+    M = px.shape[0]
+    base = jnp.stack([(ix0 * ny + iy0) * nyaw + iw,
+                      (ix1 * ny + iy0) * nyaw + iw])       # [2, M]
+    if exact:
+        idx = jnp.concatenate([base, base + ncells], axis=0)  # [4, M]
+        w = jnp.take(grid.data_packed16, idx.reshape(-1), axis=1,
+                     mode="clip").reshape(6, 4, M)
+        u = jax.lax.bitcast_convert_type(w, jnp.uint32)
+        v_w0, v_w1 = _unpack_f16_pair(u)
+        v_w0 = v_w0[:, :2] + v_w0[:, 2:]                   # hi + residual
+        v_w1 = v_w1[:, :2] + v_w1[:, 2:]
+    else:
+        w = jnp.take(grid.data_packed16, base.reshape(-1), axis=1,
+                     mode="clip").reshape(6, 2, M)
+        u = jax.lax.bitcast_convert_type(w, jnp.uint32)
+        v_w0, v_w1 = _unpack_f16_pair(u)
+    vw = v_w0 * (1.0 - wt) + v_w1 * wt        # yaw blend -> [6, 2x, M]
+    vy = vw[0::2] * (1.0 - wy) + vw[1::2] * wy   # [3ch, 2x, M]
+    val = vy[:, 0] * (1.0 - wx) + vy[:, 1] * wx  # [3ch, M]
+
+    inside = (px > ox + 1e-4) & (px < ox + nx * res - 1e-4) \
+        & (py > oy + 1e-4) & (py < oy + ny * res - 1e-4)
+    val = jnp.where(inside[None, :], val, 0.0)
+    return _tv_from_fields(val[0], val[1], val[2], yaw)
 
 
 def _unpack_bf16_pair(words_u32):
@@ -665,9 +781,13 @@ def get_terrain_variables_cm(grid: TerrainGrid, px: jax.Array,
     trailing channel dim, so nothing pays (8, 128) lane padding.  Bitwise
     semantics match `get_terrain_variables_batch` (tested).
 
-    With exact=False and a packed table attached, uses the 2-item bf16
-    fast path (`get_terrain_variables_cm_packed`).
+    With exact=False and a packed table attached, uses the cheapest
+    attached fast path: the f16 table (2 six-wide items,
+    `get_terrain_variables_cm_packed16`) over the split-bf16 table
+    (2 twelve-wide items, `get_terrain_variables_cm_packed`).
     """
+    if not exact and grid.data_packed16 is not None:
+        return get_terrain_variables_cm_packed16(grid, px, py, yaw)
     if not exact and grid.data_packed is not None:
         return get_terrain_variables_cm_packed(grid, px, py, yaw)
     if grid.data_pair is None:

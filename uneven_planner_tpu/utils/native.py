@@ -44,6 +44,24 @@ class KinoParams(ctypes.Structure):
     ]
 
 
+class InnerCostParams(ctypes.Structure):
+    _fields_ = [
+        ("nxy", ctypes.c_int), ("nyaw", ctypes.c_int), ("K", ctypes.c_int),
+        ("jerk_scale", ctypes.c_double),
+        ("sigma_weight", ctypes.c_double),
+        ("time_weight", ctypes.c_double),
+        ("max_vel", ctypes.c_double), ("max_acc_lon", ctypes.c_double),
+        ("max_acc_lat", ctypes.c_double), ("max_kap", ctypes.c_double),
+        ("min_cxi", ctypes.c_double), ("max_sig", ctypes.c_double),
+        ("delta_sigl", ctypes.c_double), ("gravity", ctypes.c_double),
+        ("gnx", ctypes.c_int), ("gny", ctypes.c_int),
+        ("gnyaw", ctypes.c_int),
+        ("origin_x", ctypes.c_double), ("origin_y", ctypes.c_double),
+        ("origin_yaw", ctypes.c_double),
+        ("xy_res", ctypes.c_double), ("yaw_res", ctypes.c_double),
+    ]
+
+
 def ensure_built() -> bool:
     """Build the shared library if missing; returns availability."""
     global _lib
@@ -61,6 +79,9 @@ def ensure_built() -> bool:
     lib.map_csv_write.restype = ctypes.c_int
     lib.kino_astar_plan.restype = ctypes.c_int
     lib.dubins_distance.restype = ctypes.c_double
+    lib.minco_generate.restype = ctypes.c_int
+    lib.minco_jerk_cost.restype = ctypes.c_double
+    lib.minco_inner_cost.restype = ctypes.c_double
     _lib = lib
     return True
 
@@ -143,6 +164,74 @@ def kino_astar_plan(grid, frontend_cfg, start, goal,
     if n == 0:
         return None
     return out[:n].copy()
+
+
+def minco_generate(inner: np.ndarray, ts: np.ndarray, head: np.ndarray,
+                   tail: np.ndarray) -> np.ndarray:
+    """C++ MINCO s=3 generate (the L3 golden oracle twin of
+    se2traj.hpp:595-680).  inner [N-1, D], ts [N], head/tail [3, D] ->
+    coefficients [N, 6, D] ascending powers, all f64."""
+    assert ensure_built(), "native library unavailable"
+    N = ts.shape[0]
+    D = head.shape[1]
+    inner = np.ascontiguousarray(inner, np.float64)
+    ts = np.ascontiguousarray(ts, np.float64)
+    head = np.ascontiguousarray(head, np.float64)
+    tail = np.ascontiguousarray(tail, np.float64)
+    out = np.empty((N, 6, D), np.float64)
+    r = _lib.minco_generate(N, D, _dptr(inner), _dptr(ts), _dptr(head),
+                            _dptr(tail), _dptr(out))
+    if r != 0:
+        raise RuntimeError(f"minco_generate error {r}")
+    return out
+
+
+def minco_jerk_cost(coeffs: np.ndarray, ts: np.ndarray) -> float:
+    assert ensure_built()
+    N, _, D = coeffs.shape
+    coeffs = np.ascontiguousarray(coeffs, np.float64)
+    ts = np.ascontiguousarray(ts, np.float64)
+    return float(_lib.minco_jerk_cost(N, D, _dptr(coeffs), _dptr(ts)))
+
+
+def inner_cost(grid, alm_cfg, shape, x, bound, lam, mu, rho, scale_cx,
+               scale_fx: float = 1.0) -> float:
+    """C++ ALM inner-cost twin (innerCallback + calConstrainCostGrad
+    forward, alm_traj_opt.cpp:280-347,663-991) at a fixed iterate.
+
+    Arguments mirror solver/alm._inner_cost_impl: x is the flat decision
+    vector, bound an alm.Boundary, lam [E], mu [I] (channel-major),
+    scale_cx [7, S].  Used by tests as the independent f64 oracle for the
+    JAX cost, and (via central differences) for the JAX gradient."""
+    assert ensure_built()
+    nx, ny, nyaw = grid.voxel_num
+    trick = alm_cfg.scale_trick_jerk if alm_cfg.use_scaling else 1.0
+    p = InnerCostParams(
+        nxy=shape.piece_xy, nyaw=shape.piece_yaw, K=shape.int_K,
+        jerk_scale=float(scale_fx) * float(trick),
+        sigma_weight=alm_cfg.rho_ter * float(scale_fx),
+        time_weight=alm_cfg.rho_T * float(scale_fx),
+        max_vel=alm_cfg.max_vel, max_acc_lon=alm_cfg.max_acc_lon,
+        max_acc_lat=alm_cfg.max_acc_lat, max_kap=alm_cfg.max_kap,
+        min_cxi=alm_cfg.min_cxi, max_sig=alm_cfg.max_sig,
+        delta_sigl=alm_cfg.delta_sigl, gravity=grid.gravity,
+        gnx=nx, gny=ny, gnyaw=nyaw,
+        origin_x=grid.origin[0], origin_y=grid.origin[1],
+        origin_yaw=grid.origin[2],
+        xy_res=grid.xy_resolution, yaw_res=grid.yaw_resolution)
+    gdata = np.ascontiguousarray(np.asarray(grid.data), np.float64)
+    x = np.ascontiguousarray(x, np.float64)
+    hxy = np.ascontiguousarray(bound.head_xy, np.float64)
+    txy = np.ascontiguousarray(bound.tail_xy, np.float64)
+    hyaw = np.ascontiguousarray(bound.head_yaw, np.float64)
+    tyaw = np.ascontiguousarray(bound.tail_yaw, np.float64)
+    lam = np.ascontiguousarray(lam, np.float64)
+    mu = np.ascontiguousarray(mu, np.float64)
+    sc = np.ascontiguousarray(scale_cx, np.float64)
+    return float(_lib.minco_inner_cost(
+        ctypes.byref(p), _dptr(gdata), _dptr(x), _dptr(hxy), _dptr(txy),
+        _dptr(hyaw), _dptr(tyaw), _dptr(lam), _dptr(mu),
+        ctypes.c_double(float(rho)), _dptr(sc)))
 
 
 def dubins_distance(q0, q1, rho: float) -> float:

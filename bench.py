@@ -21,36 +21,34 @@ Measurement rules (hard-won on the tunneled TPU platform):
 - host-side scenario generation must stay pure numpy (eager jnp scalar ops
   degrade subsequent device launches ~300x).
 
-Production solver config (each lever measured same-session against the
-r03 config by experiments/e20_compose.py, round 4):
+Production solver config (round-5 levers each measured same-session by
+experiments/e26-e29; round-4 lineage in e20-e25):
 - `alm.solve_flat_compacted` — ALM + L-BFGS + Lewis-Overton flattened into
   one while_loop, converged lanes retired every `chunk_steps` evals;
-- population-prior warm-started duals harvested from a 512-lane pilot —
-  the biggest lever: ~2x fewer evals/lane (238 -> 110 at K8/w2048; the
-  prior is a per-scene constant in production, the replanning analog of a
-  warm ALM state, so the pilot sits outside the timed loop; the timed
-  batches still start from COLD iterates);
+- NEAREST-PILOT warm duals (e29): each timed lane gets (lam, mu, rho)
+  from the geometrically closest pilot scenario (16-point terrain-profile
+  feature match) — 74 evals/lane vs 109 with the round-4 population mean
+  and 241 cold; the pilot is a per-scene constant in production (the
+  replanning analog of a warm ALM state) so it sits outside the timed
+  loop; timed batches still start from COLD iterates;
+- mem_size 8 (e29b): fewer evals than mem16 under warm duals (83 vs 109
+  at mean-warm) and a cheaper two-loop;
 - int_K=8 sample density (halves the terrain-gather count; the K=8
   solution passes the dense K=16 constraint recheck,
   tests/test_alm.py::test_intk8_solution_passes_dense_recheck; K is a
   tunable in the reference too, run_hill.yaml:53);
-- the SPLIT hi+lo bf16 packed terrain table (2 gather items per trilinear
-  SE(2) lookup vs the exact pair table's 4; <=4e-6 field error — far below
-  solver tolerances, unlike the abandoned single-bf16 table whose ~0.2%
-  noise broke the line search in round 2);
-- dispatch width 2048: its ~1.3x line-search eval inflation (vs none at
-  <=1024) is outweighed by per-iteration launch amortization once warm
-  starts shorten the loop; 4096's 2.5-3x inflation is not, and short
-  chunks do NOT cure it (e20: w4096/c16 still inflates ~2.3x, refuting
-  the round-3 short-chunk hypothesis).
+- the f16 packed terrain table (e27/e28): 12 corner values as IEEE-f16
+  pairs in 6-word gather items — the XLA gather unit moves <=8-word items
+  ~2x cheaper than 12-wide ones, so one trilinear lookup is 2 six-wide
+  items; 6.02 ms/eval vs 9.16 for the round-4 split-bf16 table at w2048,
+  with evals/lane +1.5% and zero false convergence vs the exact recheck
+  (the ~2.5e-4 f16 field error is line-search-safe, unlike bf16's 4e-3);
+- dispatch width 2048 (e17/e20: width 4096 inflates line-search evals
+  ~2.3-2.9x, a compile-variant numerics artifact, PLATFORM_NOTES §7);
 - difficulty-sorted dispatch (e25): lanes ordered by straight-line
-  terrain relief before slicing, +20-30% (homogeneous slices exit their
-  lockstep chunks earlier; per-lane results unchanged).
-Same-session lineage (e20-e25, each vs controls): r03 config 180-199 ->
-composed levers 279 -> driver retrace fix 570 -> chunk 192 778 ->
-sorted dispatch 727-754; the round-4 official BENCH_LOCAL headline was
-596.5 (pre-sort) with the r03-config control at 387 in the same run;
-100% converged everywhere.
+  terrain relief before slicing (+20-30%; per-lane results unchanged).
+Round-5 same-session lineage: r4 config control 534 -> f16 table 968 ->
+knn-warm + mem8 (evals 109 -> 74); 100% converged everywhere.
 """
 
 import json
@@ -201,8 +199,13 @@ def make_batch(B, cfg, shape, rng, sort=True):
         x0s.append(xi)
         bounds.append(bi)
         zs = hill_height(path[:, 0], path[:, 1])
-        feats.append(np.abs(np.diff(zs)).sum())
+        ln = np.linalg.norm(goal - start)
+        # scenario feature vector: centered 16-point terrain profile along
+        # the straight-line route + (length, heading) — used both for
+        # difficulty-sorted dispatch and for nearest-pilot warm duals (e29)
+        feats.append(np.concatenate([zs - zs.mean(), [ln, yaw]]))
     x0s = np.stack(x0s)
+    feats = np.asarray(feats)
     if sort:
         # difficulty-sorted dispatch (e25): ordering lanes by the terrain
         # relief along the straight-line route makes the sequential
@@ -210,13 +213,14 @@ def make_batch(B, cfg, shape, rng, sort=True):
         # lockstep chunk early — measured +20-30% solves/s at identical
         # per-lane results (pure numpy reorder; the solver is per-lane
         # independent, every lane is still solved and counted)
-        order = np.argsort(np.asarray(feats))
+        order = np.argsort(np.abs(np.diff(feats[:, :16], axis=1)).sum(1))
         x0s = x0s[order]
         bounds = [bounds[i] for i in order]
+        feats = feats[order]
     x0s = jnp.asarray(x0s, jnp.float32)
     bounds = jax.tree.map(lambda *a: jnp.asarray(np.stack(a), jnp.float32),
                           *bounds)
-    return x0s, bounds
+    return x0s, bounds, feats
 
 
 def _solver_knobs():
@@ -229,25 +233,31 @@ def _solver_knobs():
         max_dispatch=int(os.environ.get("BENCH_DISPATCH", "2048")),
         int_K=int(os.environ.get("BENCH_INTK", "8")),
         warm=os.environ.get("BENCH_WARM", "1") != "0",
-        # mem_size 16 measured ~20% fewer inner iterations than 8 at equal
-        # convergence; per-outer-round inner cap 30
-        overrides={"mem_size": 16, "max_iterations": 30},
+        # mem8 + knn-warm measured 74 evals/lane vs 109 at mem16 +
+        # population-mean warm (e29/e29b, deterministic eval counts)
+        overrides={"mem_size": int(os.environ.get("BENCH_MEM", "8")),
+                   "max_iterations": 30},
     )
 
 
 def _harvest_warm(cfg, grid, shape, knobs, rng):
-    """Population-prior duals from a pilot solve (a per-scene constant in
-    production — replanning reuses it across queries — so it sits outside
-    the timed loop; honesty knob: the timed batches still start from COLD
-    iterates, only lam/mu/rho are warm)."""
+    """Per-lane warm duals from the NEAREST pilot scenario (e29): the
+    pilot's (lam, mu, rho) are transferred to each production lane by
+    nearest scenario-feature match — dual vectors are sample-indexed along
+    the trajectory, so geometrically similar scenarios share constraint
+    activity patterns (74 evals/lane vs 109 with the round-4 population
+    mean).  The pilot is a per-scene constant in production — replanning
+    reuses it across queries — so it sits outside the timed loop; the
+    timed batches still start from COLD iterates, only lam/mu/rho are
+    warm.  Returns a closure feats -> DualState (or None)."""
     import numpy as np
 
     from uneven_planner_tpu.solver import alm
 
-    pilot = make_batch(int(os.environ.get("BENCH_PILOT", "512")), cfg,
-                       shape, rng)
+    px, pb, pf = make_batch(int(os.environ.get("BENCH_PILOT", "512")), cfg,
+                            shape, rng, sort=False)
     res = alm.solve_flat_compacted(
-        pilot[0], pilot[1], shape, grid, cfg.alm,
+        px, pb, shape, grid, cfg.alm,
         lbfgs_overrides=knobs["overrides"],
         chunk_steps=knobs["chunk_steps"], buckets=(1, 4, 16),
         max_dispatch=knobs["max_dispatch"], return_duals=True)
@@ -255,11 +265,20 @@ def _harvest_warm(cfg, grid, shape, knobs, rng):
     if conv.mean() < 0.9:  # pathological pilot -> stay cold
         return None
     import jax.numpy as jnp
-    return alm.DualState(
-        lam=jnp.asarray(np.asarray(res.duals.lam)[conv].mean(0)),
-        mu=jnp.asarray(np.asarray(res.duals.mu)[conv].mean(0)),
-        rho=jnp.asarray(float(np.median(np.asarray(res.duals.rho)[conv])),
-                        jnp.float32))
+    plam = np.asarray(res.duals.lam)[conv]
+    pmu = np.asarray(res.duals.mu)[conv]
+    prho = np.asarray(res.duals.rho)[conv]
+    pfeat = pf[conv]
+    sc = np.concatenate([np.ones(16), [0.5, 0.2]])
+
+    def warm_for(feats):
+        d = np.linalg.norm((feats[:, None, :] - pfeat[None, :, :]) * sc,
+                           axis=-1)
+        nn = np.argmin(d, axis=1)
+        return alm.DualState(lam=jnp.asarray(plam[nn]),
+                             mu=jnp.asarray(pmu[nn]),
+                             rho=jnp.asarray(prho[nn]))
+    return warm_for
 
 
 def headline():
@@ -273,10 +292,11 @@ def headline():
     rng = np.random.default_rng(0)
     shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=knobs["int_K"])
 
-    warm = _harvest_warm(cfg, grid, shape, knobs, rng) if knobs["warm"] \
-        else None
+    warm_for = _harvest_warm(cfg, grid, shape, knobs, rng) \
+        if knobs["warm"] else None
 
     def run(batch):
+        warm = warm_for(batch[2]) if warm_for is not None else None
         res = alm.solve_flat_compacted(
             batch[0], batch[1], shape, grid, cfg.alm,
             lbfgs_overrides=knobs["overrides"],
@@ -299,7 +319,7 @@ def headline():
     solves_per_sec = B / dt
     conv_pct = float(np.mean(convs) * 100.0)
     sys.stderr.write(f"batch={B} time={dt*1e3:.1f}ms "
-                     f"converged={conv_pct:.2f}% warm={warm is not None}\n")
+                     f"converged={conv_pct:.2f}% warm={warm_for is not None}\n")
     print(json.dumps({
         "metric": HEADLINE_METRIC,
         "value": round(solves_per_sec, 2),
@@ -310,7 +330,8 @@ def headline():
         "config": {"int_K": knobs["int_K"], "dispatch": knobs["max_dispatch"],
                    "chunk_steps": knobs["chunk_steps"],
                    "table": os.environ.get("BENCH_TABLE", "f16"),
-                   "warm_duals": warm is not None},
+                   "warm_duals": warm_for is not None,
+                   "mem_size": knobs["overrides"]["mem_size"]},
     }), flush=True)
 
 
@@ -433,18 +454,65 @@ def extras():
                 "mean_track_err_m": round(merr, 4)}
     section(mpc_metric)
 
+    def replan_latency_metric():
+        # single-plan replan latency (BASELINE row 4): the reference prints
+        # per-plan ms at kino_astar.cpp:121-122 (frontend) and
+        # alm_traj_opt.cpp:272 (ALM); this is the fused frontend -> init
+        # guess -> ALM program at batch 1 (p50 over fresh scenarios,
+        # steady-state compile) and amortized at batch 64
+        from uneven_planner_tpu import api
+        from uneven_planner_tpu.solver import alm as alm_mod
+        shp = alm_mod.ProblemShape(10, 20,
+                                   int(os.environ.get("BENCH_INTK", "8")))
+        ovr = {"mem_size": 16, "max_iterations": 30}
+        single = jax.jit(lambda s, g: api.plan(
+            grid, cfg, s, g, shape=shp, lbfgs_overrides=ovr)[1].converged)
+        batch = jax.jit(lambda ss, gg: jax.vmap(lambda s, g: api.plan(
+            grid, cfg, s, g, shape=shp,
+            lbfgs_overrides=ovr)[1].converged)(ss, gg))
+
+        n1 = int(os.environ.get("BENCH_REPLAN_REPS", "12"))
+        scens = [scen_batch(1) for _ in range(n1 + 1)]
+        bool(np.asarray(single(scens[0][0][0], scens[0][1][0])))  # compile
+        lat1, ok1 = [], []
+        for i in range(1, n1 + 1):
+            t0 = time.time()
+            ok = np.asarray(single(scens[i][0][0], scens[i][1][0]))
+            lat1.append(time.time() - t0)
+            ok1.append(bool(ok))
+        p50 = float(np.percentile(lat1, 50) * 1e3)
+
+        nb = max(2, int(os.environ.get("BENCH_REPLAN_B64_REPS", "3")))
+        bs = [scen_batch(64) for _ in range(nb + 1)]
+        np.asarray(batch(*bs[0]))  # compile
+        latb = []
+        for i in range(1, nb + 1):
+            t0 = time.time()
+            np.asarray(batch(*bs[i]))
+            latb.append(time.time() - t0)
+        b64 = float(np.median(latb) * 1e3)
+        sys.stderr.write(f"replan p50={p50:.1f}ms (batch1, "
+                         f"conv={np.mean(ok1)*100:.0f}%) "
+                         f"batch64={b64:.1f}ms ({b64/64:.1f}ms/plan)\n")
+        return {"metric": "replan_latency_ms_p50", "value": round(p50, 1),
+                "unit": "ms", "batch1_converged": float(np.mean(ok1)),
+                "batch64_wall_ms": round(b64, 1),
+                "batch64_ms_per_plan": round(b64 / 64, 2)}
+    section(replan_latency_metric)
+
     def control_metric():
         # r03 production solver config on the same workload, same session
         # (PLATFORM_NOTES §11: cross-day numbers are incomparable, so the
         # headline artifact carries its own control)
         from uneven_planner_tpu.solver import alm
         from uneven_planner_tpu.terrain import grid as tgrid
-        gpair = grid.replace(data_packed=None)  # exact pair table only
+        gpair = grid.replace(data_packed=None,
+                             data_packed16=None)  # exact pair table only
         shape = alm.ProblemShape(10, 20, 16)
         B = int(os.environ.get("BENCH_CONTROL_BATCH",
                                os.environ.get("BENCH_BATCH", "4096")))
 
-        def run(xs, bs):
+        def run(xs, bs, feats):
             res = alm.solve_flat_compacted(
                 xs, bs, shape, gpair, cfg.alm,
                 lbfgs_overrides={"mem_size": 16, "max_iterations": 30},

@@ -106,3 +106,82 @@ def test_construct_map_desert(cloud):
     # occupancy exists and is not everything
     occ_frac = float(np.asarray(grid.occ).mean())
     assert 0.0 <= occ_frac < 0.9
+
+
+def test_cell_fit3d_matches_reference_oracle(cloud):
+    """The 3D-bucketed fit (round-5 vegetation fast path) must match the
+    same brute-force oracle, including on a synthetic dense vertical
+    column (the forest failure shape) and with capacity truncation off."""
+    cfg = TEST_CFG
+    rng = np.random.default_rng(4)
+    # graft a dense "tree": 600 points stacked in a 0.1 m column
+    tree = np.stack([np.full(600, 1.13) + rng.normal(0, 0.03, 600),
+                     np.full(600, -0.87) + rng.normal(0, 0.03, 600),
+                     rng.uniform(0.0, 3.0, 600)], axis=1)
+    pts = np.concatenate([cloud, tree])
+    buckets = build.build_buckets3d(pts, cfg)
+    seeds_all = build.nearest_z_seeds(pts, cfg)
+    nx, ny, nyaw = cfg.voxel_num
+    ox, oy, oyaw = cfg.map_origin
+    for _ in range(8):
+        # random cells plus cells at the tree
+        if rng.random() < 0.5:
+            cell = np.array([1.1 + rng.normal(0, 0.2),
+                             -0.9 + rng.normal(0, 0.2),
+                             rng.uniform(-np.pi, np.pi)])
+        else:
+            cell = np.array([rng.uniform(-4, 4), rng.uniform(-4, 4),
+                             rng.uniform(-np.pi, np.pi)])
+        prev = np.zeros(4)
+        # exact KD seed for this probe (iter-0 semantics)
+        from scipy.spatial import cKDTree
+        probe = cell[:2] + cfg.probe_offset * np.array(
+            [np.cos(cell[2]), np.sin(cell[2])])
+        _, nn = cKDTree(pts[:, :2]).query(probe)
+        seed = np.float32(pts[nn, 2])
+        got = np.asarray(build._fit_cell3d(
+            jnp.asarray(cell, jnp.float32), jnp.asarray(prev, jnp.float32),
+            jnp.asarray(seed), buckets, cfg, first_iter=True))
+        want = _reference_fit(cell, prev, pts, cfg)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_construct_map_modes_agree(cloud):
+    """construct_map mode="xyz" must reproduce mode="xy" on the same cloud
+    (both reduce to the same fit; only the gather windows and the z-seed
+    exactness differ — the seed difference only matters when the true 2D
+    nearest lies outside the 3x3 xy window, which on this dense desert
+    cloud it never does)."""
+    g_xy = build.construct_map(cloud, TEST_CFG, chunk=8192, mode="xy")
+    g_xyz = build.construct_map(cloud, TEST_CFG, chunk=8192, mode="xyz")
+    np.testing.assert_allclose(np.asarray(g_xyz.data),
+                               np.asarray(g_xy.data), rtol=2e-3, atol=2e-3)
+    # the yaw-shared sweep (production default via mode="auto") must agree
+    # with the per-cell 3D sweep bit-for-bit up to fp reduction order
+    g_ys = build.construct_map(cloud, TEST_CFG, chunk=8192,
+                               mode="yawshare")
+    np.testing.assert_allclose(np.asarray(g_ys.data),
+                               np.asarray(g_xyz.data), rtol=2e-3, atol=2e-3)
+
+
+def test_buckets3d_capacity_truncation():
+    """Distance-sorted truncation keeps the K points nearest each bucket
+    center and stays deterministic."""
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-1, 1, size=(500, 3))
+    cfg = TEST_CFG
+    full = build.build_buckets3d(pts, cfg)
+    filled = np.asarray(full.bucket_idx)
+    kmax = int((filled < 500).sum(axis=-1).max())
+    cap = max(2, kmax // 2)
+    trunc = build.build_buckets3d(pts, cfg, capacity=cap)
+    tb = np.asarray(trunc.bucket_idx)
+    assert tb.shape[-1] == cap
+    # every kept id appears in the full bucket, and counts are min(n, cap)
+    fb = filled.reshape(-1, filled.shape[-1])
+    tb2 = tb.reshape(-1, cap)
+    assert tb2.shape[0] == fb.shape[0]
+    for b in range(fb.shape[0]):
+        kept = tb2[b][tb2[b] < 500]
+        assert set(kept) <= set(fb[b][fb[b] < 500])
+        assert len(kept) == min(len(fb[b][fb[b] < 500]), cap)

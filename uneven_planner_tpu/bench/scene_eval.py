@@ -140,24 +140,73 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
     res = jax.tree.map(np.asarray, res)
     wall = time.time() - t0
 
-    # 6-metric report on planned lanes: same solver config as the pipeline
-    # run (a metrics report from a different config would be a different
-    # optimizer's trajectories)
-    kres, ares = api.plan_batch(grid, scfg, jnp.asarray(starts),
-                                jnp.asarray(goals), lbfgs_overrides=ovr)
-    mm = jax.tree.map(np.asarray, metrics_fn(grid, ares.traj))
-    conv = np.asarray(ares.converged)
     a = scfg.alm
     # Acceptance follows the reference exit flow: ALMTrajOpt publishes the
     # trajectory when the outer loop ends, converged OR at the iteration
-    # cap with a small residual (alm_traj_opt.cpp:265-278) — on forest
-    # (rho_T=500, max_sig=1e-3, scaling off) the cap exit is the NORMAL
-    # outcome, with res_g ~ 0.01-0.02.  `alm_convergence_rate` stays the
-    # strict epsilon_con test; `alm_accepted_rate` is the cap-exit window.
-    res_h = np.asarray(ares.res_h)
-    res_g = np.asarray(ares.res_g)
-    accepted = (res_h < 5e-3) & (res_g < 0.05)
+    # cap with a small residual (alm_traj_opt.cpp:265-278; the reference
+    # manager publishes unconditionally, plan_manager.cpp:134-138 — the
+    # residual window here is a HARNESS acceptance choice stricter than
+    # publish-always).  On forest (rho_T=500, max_sig=1e-3, scaling off)
+    # the cap exit is the NORMAL outcome with res_g ~ 0.01-0.02.
+    # Residuals come from the SAME pipeline solve whose trajectories were
+    # tracked (round-5 fix; previously a separate re-solve could misalign).
+    def _accept(r):
+        return (r.res_h < 5e-3) & (r.res_g < 0.05)
+
+    accepted = _accept(res)
     ok = res.plan_success & accepted
+
+    # --- one retry pass for failed lanes (round-5, VERDICT r4 #8): longer
+    # init time (easier dynamic feasibility) + a deeper frontend search;
+    # the same lever a practitioner would pull after a failed replan
+    n_retry = 0
+    retried_ok = 0
+    fail = np.nonzero(~ok)[0]
+    if fail.size:
+        import dataclasses as _dc
+        scfg_r = _dc.replace(
+            scfg,
+            manager=_dc.replace(scfg.manager,
+                                init_time_times=scfg.manager.init_time_times
+                                * 1.5),
+            frontend=_dc.replace(scfg.frontend,
+                                 max_rounds=scfg.frontend.max_rounds * 2))
+        width = 8
+        while width < fail.size:
+            width *= 2
+        pad = np.concatenate([fail, np.full(width - fail.size, fail[0])])
+        rrun = lambda g, s, go: pipeline.plan_track_batch_chunked(
+            g, scfg_r, s, go, shape,
+            n_track_steps=n_track_steps, lbfgs_overrides=ovr)
+        rres = jax.tree.map(np.asarray, rrun(
+            grid, jnp.asarray(starts[pad]), jnp.asarray(goals[pad])))
+        r_ok = (rres.plan_success & _accept(rres))[:fail.size]
+        n_retry = int(fail.size)
+        retried_ok = int(r_ok.sum())
+        # merge recovered lanes into the per-lane arrays
+        rec = fail[r_ok]
+        sel = np.nonzero(r_ok)[0]
+        for field in ("plan_success", "alm_converged", "res_h", "res_g",
+                      "non_hol", "mean_track_err", "final_track_err"):
+            full = getattr(res, field)
+            part = getattr(rres, field)
+            full[rec] = part[sel]
+        jax.tree.map(lambda full, part: full.__setitem__(rec, part[sel]),
+                     res.traj, rres.traj)
+        accepted = _accept(res)
+        ok = res.plan_success & accepted
+
+    # failure attribution (post-retry): frontend vs ALM vs tracking
+    fe_fail = ~res.plan_success
+    alm_fail = res.plan_success & ~accepted
+    trk_bad = ok & ~np.isfinite(res.mean_track_err)
+
+    # 6-metric report on the TRACKED trajectories (the pipeline's own)
+    mm = jax.tree.map(np.asarray, metrics_fn(
+        grid, jax.tree.map(jnp.asarray, res.traj)))
+    conv = res.alm_converged
+    res_h = res.res_h
+    res_g = res.res_g
 
     def _agg(key, lo=False):
         vals = mm[key][conv]
@@ -177,7 +226,18 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
         "frontend_success_rate": float(res.plan_success.mean()),
         "alm_convergence_rate": float(conv.mean()),
         "alm_accepted_rate": float(accepted.mean()),
-        "accept_criterion": "res_h<5e-3 & res_g<0.05 (cap-exit window, alm_traj_opt.cpp:265-278)",
+        "accept_criterion": ("res_h<5e-3 & res_g<0.05 — harness acceptance "
+                             "window on the cap-exit flow "
+                             "(alm_traj_opt.cpp:265-278); stricter than the "
+                             "reference manager, which publishes "
+                             "unconditionally (plan_manager.cpp:134-138)"),
+        "failure_breakdown": {
+            "frontend": int(fe_fail.sum()),
+            "alm_residual": int(alm_fail.sum()),
+            "tracking_nonfinite": int(trk_bad.sum()),
+        },
+        "retried_lanes": n_retry,
+        "retry_recovered": retried_ok,
         "res_h_p95": float(np.percentile(res_h, 95)),
         "res_g_p95": float(np.percentile(res_g, 95)),
         "pipeline_success_rate": float(ok.mean()),

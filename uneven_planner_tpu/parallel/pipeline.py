@@ -34,6 +34,13 @@ class PipelineResult(NamedTuple):
     non_hol: jax.Array
     mean_track_err: jax.Array
     final_track_err: jax.Array
+    # final scaled ALM residuals of the SAME solve whose trajectory was
+    # tracked (round-5: acceptance gates must not come from a separate
+    # re-solve that can diverge numerically from the tracked program)
+    res_h: jax.Array = None
+    res_g: jax.Array = None
+    # the tracked trajectories (post wire round-trip) for metric reports
+    traj: "SE2Traj | None" = None
 
 
 def plan_track_scenario(grid: tgrid.TerrainGrid, scfg: SceneConfig,
@@ -79,7 +86,8 @@ def plan_track_scenario(grid: tgrid.TerrainGrid, scfg: SceneConfig,
         inner_iters=ares.inner_iters,
         non_hol=nh,
         mean_track_err=tres.mean_err,
-        final_track_err=tres.errs[-1])
+        final_track_err=tres.errs[-1],
+        res_h=ares.res_h, res_g=ares.res_g, traj=traj)
 
 
 def plan_track_batch(grid, scfg, starts, goals, shape,
@@ -114,7 +122,7 @@ def _plan_phase_fn(scfg: SceneConfig, shape: alm.ProblemShape,
         traj = traj_msg.traj_from_msg(msg)
         nh = non_hol_error(ares.traj, num_samples=metric_samples)
         return (kres.success, ares.converged, ares.outer_iters,
-                ares.inner_iters, nh, traj)
+                ares.inner_iters, nh, ares.res_h, ares.res_g, traj)
 
     return jax.jit(lambda g, ss, gg: jax.vmap(
         lambda s_, g_: one(g, s_, g_))(ss, gg))
@@ -137,7 +145,7 @@ def plan_track_batch_chunked(grid, scfg: SceneConfig, starts, goals,
     key = (tuple(sorted(lbfgs_overrides.items()))
            if lbfgs_overrides else None)
     pf = _plan_phase_fn(scfg, shape, key, metric_samples)
-    succ, conv, oi, ii, nh, traj = pf(grid, starts, goals)
+    succ, conv, oi, ii, nh, rh, rg, traj = pf(grid, starts, goals)
     tres = rollout.track_trajectory_batched(
         traj, starts, scfg.mpc, n_track_steps, max_sqp_iter=max_sqp_iter,
         plant_params=plant_params, chunk_ticks=chunk_ticks,
@@ -145,4 +153,5 @@ def plan_track_batch_chunked(grid, scfg: SceneConfig, starts, goals,
     return PipelineResult(plan_success=succ, alm_converged=conv,
                           outer_iters=oi, inner_iters=ii, non_hol=nh,
                           mean_track_err=tres.mean_err,
-                          final_track_err=tres.errs[:, -1])
+                          final_track_err=tres.errs[:, -1],
+                          res_h=rh, res_g=rg, traj=traj)

@@ -88,6 +88,261 @@ def build_buckets(points: np.ndarray, cfg: MapConfig,
                         size=float(size), nb=(nbx, nby))
 
 
+class CloudBuckets3D(NamedTuple):
+    """Dense xyz bucket grid — the forest-scene fix (round 5).
+
+    The 2D bucket grid's capacity K is the MAX points in any 0.2 m xy
+    column; vegetation scenes stack hundreds of points vertically (forest:
+    K=1035), so every cell gathered ~9xK mostly-padding indices (2,253 s
+    full-res build).  The fit ellipsoid only spans ~±0.2 m in z around the
+    probe z, so bucketing in z and gathering a 3x3x3 window bounds the
+    gather by the LOCAL 3D density instead of the column height."""
+    px: jax.Array
+    py: jax.Array
+    pz: jax.Array
+    bucket_idx: jax.Array  # [nbx, nby, nbz, K]
+    origin: tuple          # (ox, oy, oz)
+    size: float
+    nb: tuple              # (nbx, nby, nbz)
+
+
+def build_buckets3d(points: np.ndarray, cfg: MapConfig,
+                    bucket_size: float | None = None,
+                    capacity: int | None = None) -> CloudBuckets3D:
+    """Host-side 3D bucketing with optional distance-sorted truncation:
+    buckets over `capacity` keep the points nearest their bucket center
+    (deterministic; dropped points are the farthest-from-center excess in
+    pathologically dense foliage voxels)."""
+    r = max(cfg.ellipsoid_x, cfg.ellipsoid_y, cfg.ellipsoid_z)
+    size = bucket_size or r
+    lo = points.min(axis=0) - 2 * size
+    hi = points.max(axis=0) + 2 * size
+    # minimum dims so the 5x5 xy / 6-slab z windows of the yaw-shared
+    # sweep always fit (extra buckets are empty and cost nothing)
+    nb = [max(int(math.ceil((hi[d] - lo[d]) / size)), m)
+          for d, m in zip(range(3), (5, 5, 6))]
+    bidx = [np.floor((points[:, d] - lo[d]) / size).astype(np.int64)
+            for d in range(3)]
+    flat = (bidx[0] * nb[1] + bidx[1]) * nb[2] + bidx[2]
+    order = np.argsort(flat, kind="stable")
+    flat_sorted = flat[order]
+    counts = np.bincount(flat_sorted, minlength=nb[0] * nb[1] * nb[2])
+    kmax = int(counts.max())
+    K = min(capacity, kmax) if capacity else kmax
+    M = points.shape[0]
+    bucket = np.full((nb[0] * nb[1] * nb[2], K), M, dtype=np.int32)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    nz = np.nonzero(counts)[0]
+    for b in nz:
+        ids = order[starts[b]:starts[b] + counts[b]]
+        if counts[b] > K:
+            bz = np.array([(b // (nb[1] * nb[2])), (b // nb[2]) % nb[1],
+                           b % nb[2]])
+            center = lo + (bz + 0.5) * size
+            d2 = np.sum((points[ids] - center) ** 2, axis=1)
+            ids = ids[np.argsort(d2, kind="stable")[:K]]
+        bucket[b, :len(ids)] = ids
+    pts_pad = np.concatenate([points, [[1e6, 1e6, 1e6]]], axis=0)
+    return CloudBuckets3D(
+        px=jnp.asarray(pts_pad[:, 0], jnp.float32),
+        py=jnp.asarray(pts_pad[:, 1], jnp.float32),
+        pz=jnp.asarray(pts_pad[:, 2], jnp.float32),
+        bucket_idx=jnp.asarray(bucket.reshape(nb[0], nb[1], nb[2], K)),
+        origin=(float(lo[0]), float(lo[1]), float(lo[2])),
+        size=float(size), nb=tuple(nb))
+
+
+def nearest_z_seeds(points: np.ndarray, cfg: MapConfig) -> np.ndarray:
+    """Exact 2D-nearest-neighbor z for every iteration-0 probe point
+    (uneven_map.cpp:346-355 kd_tree_plane seed), computed host-side.
+
+    At iteration 0 the surface estimate is flat (zb = 0), so the probe xy
+    of cell (x, y, yaw) is cell_xy + probe_offset * (cos yaw, sin yaw) —
+    static — and one batched KD query covers the whole map.  (The round-4
+    device path seeded from the 3x3 bucket neighborhood's nearest point,
+    which is exact only when the true nearest lies inside the window —
+    this is strictly closer to the reference.)  Returns [n_cells] f32 in
+    cell-id order."""
+    from scipy.spatial import cKDTree
+    nx, ny, nyaw = cfg.voxel_num
+    ox, oy, oyaw = cfg.map_origin
+    ids = np.arange(nx * ny * nyaw, dtype=np.int64)
+    cx = ((ids // (ny * nyaw)) + 0.5) * cfg.xy_resolution + ox
+    cy = (((ids // nyaw) % ny) + 0.5) * cfg.xy_resolution + oy
+    cw = ((ids % nyaw) + 0.5) * cfg.yaw_resolution + oyaw
+    px = cx + cfg.probe_offset * np.cos(cw)
+    py = cy + cfg.probe_offset * np.sin(cw)
+    tree = cKDTree(points[:, :2])
+    _, nn = tree.query(np.stack([px, py], axis=1), workers=-1)
+    return points[nn, 2].astype(np.float32)
+
+
+def _fit_cell3d(cell_pos, prev, seed_z, buckets: CloudBuckets3D,
+                cfg: MapConfig, first_iter: bool):
+    """One plane-fit iteration for one SE(2) cell over the 3D bucket grid.
+
+    Same fit semantics as `_fit_cell`; differs in (a) the z-seed comes
+    from the precomputed exact-KD seeds at iteration 0 and (b) the gather
+    window is the 3x3x3 bucket block around (probe_xy, z0) — the rotated
+    ellipsoid spans at most the max semi-axis (0.2 m = bucket size) in
+    every direction, so the window is a superset of the membership set."""
+    zb = prev[2:4]
+    c = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(zb * zb), 1e-12))
+    yaw = cell_pos[2]
+    xyaw = jnp.array([jnp.cos(yaw), jnp.sin(yaw), 0.0])
+    zb3 = jnp.array([zb[0], zb[1], c])
+    yb = jnp.cross(zb3, xyaw)
+    yb = yb / jnp.sqrt(jnp.maximum(jnp.sum(yb * yb), 1e-30))
+    xb = jnp.cross(yb, zb3)
+    RT = jnp.stack([xb, yb, zb3])
+
+    world_xy = cell_pos[:2] + xb[:2] * cfg.probe_offset
+    z0 = seed_z if first_iter else prev[0]
+
+    ox, oy, oz = buckets.origin
+    bx = jnp.clip(((world_xy[0] - ox) / buckets.size).astype(jnp.int32),
+                  1, buckets.nb[0] - 2)
+    by = jnp.clip(((world_xy[1] - oy) / buckets.size).astype(jnp.int32),
+                  1, buckets.nb[1] - 2)
+    bz = jnp.clip(((z0 - oz) / buckets.size).astype(jnp.int32),
+                  1, buckets.nb[2] - 2)
+    neigh = jax.lax.dynamic_slice(
+        buckets.bucket_idx,
+        (bx - 1, by - 1, bz - 1, jnp.zeros((), jnp.int32)),
+        (3, 3, 3, buckets.bucket_idx.shape[-1]))
+    idx = neigh.reshape(-1)
+    gx = buckets.px[idx]
+    gy = buckets.py[idx]
+    gz = buckets.pz[idx]
+    valid = idx < (buckets.px.shape[0] - 1)
+    dtype = gx.dtype
+
+    rx = gx - world_xy[0]
+    ry = gy - world_xy[1]
+    rz = gz - z0
+    ax = RT[0, 0] * rx + RT[0, 1] * ry + RT[0, 2] * rz
+    ay = RT[1, 0] * rx + RT[1, 1] * ry + RT[1, 2] * rz
+    az = RT[2, 0] * rx + RT[2, 1] * ry + RT[2, 2] * rz
+    member = valid & ((ax / cfg.ellipsoid_x) ** 2
+                      + (ay / cfg.ellipsoid_y) ** 2
+                      + (az / cfg.ellipsoid_z) ** 2 < 1.0)
+    n = jnp.sum(member)
+
+    w = member.astype(dtype)
+    denom = jnp.maximum(n.astype(dtype), 1.0)
+    mx = jnp.sum(gx * w) / denom
+    my = jnp.sum(gy * w) / denom
+    mz = jnp.sum(gz * w) / denom
+    cx, cy, cz = (gx - mx) * w, (gy - my) * w, (gz - mz) * w
+    cov = jnp.stack([
+        jnp.stack([jnp.sum(cx * cx), jnp.sum(cx * cy), jnp.sum(cx * cz)]),
+        jnp.stack([jnp.sum(cx * cy), jnp.sum(cy * cy), jnp.sum(cy * cz)]),
+        jnp.stack([jnp.sum(cx * cz), jnp.sum(cy * cz), jnp.sum(cz * cz)]),
+    ]) / denom
+
+    evals, v = _eigh3_smallest(cov)
+    v = jnp.where(v[2] < 0.0, -v, v)
+    tr = jnp.sum(evals)
+    sigma = 3.0 * evals[0] / tr
+    bad = ~jnp.isfinite(sigma) | (tr <= 1e-20)
+    sigma = jnp.where(bad, 1.0, sigma)
+    v = jnp.where(bad, jnp.array([1.0, 0.0, 0.0], dtype), v)
+
+    fitted = jnp.array([mz, sigma, v[0], v[1]])
+    empty_val = jnp.array([z0, 0.0, 0.0, 0.0])
+    return jnp.where(n > 0, fitted, empty_val)
+
+
+def _fit_yaw_block(cell_xy, yaws, prev, seed_z, buckets: CloudBuckets3D,
+                   cfg: MapConfig, first_iter: bool):
+    """All Nyaw plane fits of one (x, y) column off ONE shared gather.
+
+    The 63 yaw cells of an (x, y) column probe points on a 0.12 m circle
+    with a 0.2 m search ellipsoid — their neighborhoods overlap almost
+    entirely, yet the per-cell sweep re-gathered them 63 times (the round-4
+    map builder's dominant cost).  This gathers one 5x5x(NZ) bucket block
+    per column (xy coverage ±0.4 m ⊇ probe 0.12 + ellipsoid 0.2; z window
+    NZ slabs based below the lowest yaw's z0) and scans the yaw fits over
+    the shared candidate set — ~30-60x fewer gather items per cell at
+    identical fit semantics (points can only be missed if the column's z0
+    spread exceeds the z window, i.e. at extreme cliffs; the window covers
+    z0_min - 0.2 .. z0_min + (NZ-1)*0.2).
+
+    cell_xy [2]; yaws [W]; prev [W, 4]; seed_z [W] -> [W, 4] RXS2 values.
+    """
+    nbx, nby, nbz, K = buckets.bucket_idx.shape   # static
+    NZ = min(6, nbz)
+    W = yaws.shape[0]
+    ox, oy, oz = buckets.origin
+    s = buckets.size
+
+    z0s = seed_z if first_iter else prev[:, 0]
+    bx = jnp.clip(((cell_xy[0] - ox) / s).astype(jnp.int32), 2, nbx - 3)
+    by = jnp.clip(((cell_xy[1] - oy) / s).astype(jnp.int32), 2, nby - 3)
+    bz = jnp.clip(((jnp.min(z0s) - 0.2 - oz) / s).astype(jnp.int32),
+                  0, nbz - NZ)
+    neigh = jax.lax.dynamic_slice(
+        buckets.bucket_idx,
+        (bx - 2, by - 2, bz, jnp.zeros((), jnp.int32)),
+        (5, 5, NZ, K))
+    idx = neigh.reshape(-1)                       # [G]
+    gx = buckets.px[idx]
+    gy = buckets.py[idx]
+    gz = buckets.pz[idx]
+    valid = idx < (buckets.px.shape[0] - 1)
+    dtype = gx.dtype
+
+    def one_yaw(carry, inp):
+        yaw, pr, z0 = inp
+        zb = pr[2:4]
+        c = jnp.sqrt(jnp.maximum(1.0 - jnp.sum(zb * zb), 1e-12))
+        xyaw = jnp.array([jnp.cos(yaw), jnp.sin(yaw), 0.0])
+        zb3 = jnp.array([zb[0], zb[1], c])
+        yb = jnp.cross(zb3, xyaw)
+        yb = yb / jnp.sqrt(jnp.maximum(jnp.sum(yb * yb), 1e-30))
+        xb = jnp.cross(yb, zb3)
+        RT = jnp.stack([xb, yb, zb3])
+        wxy = cell_xy + xb[:2] * cfg.probe_offset
+
+        rx = gx - wxy[0]
+        ry = gy - wxy[1]
+        rz = gz - z0
+        ax = RT[0, 0] * rx + RT[0, 1] * ry + RT[0, 2] * rz
+        ay = RT[1, 0] * rx + RT[1, 1] * ry + RT[1, 2] * rz
+        az = RT[2, 0] * rx + RT[2, 1] * ry + RT[2, 2] * rz
+        member = valid & ((ax / cfg.ellipsoid_x) ** 2
+                          + (ay / cfg.ellipsoid_y) ** 2
+                          + (az / cfg.ellipsoid_z) ** 2 < 1.0)
+        n = jnp.sum(member)
+        w = member.astype(dtype)
+        denom = jnp.maximum(n.astype(dtype), 1.0)
+        mx = jnp.sum(gx * w) / denom
+        my = jnp.sum(gy * w) / denom
+        mz = jnp.sum(gz * w) / denom
+        cx, cy, cz = (gx - mx) * w, (gy - my) * w, (gz - mz) * w
+        cov = jnp.stack([
+            jnp.stack([jnp.sum(cx * cx), jnp.sum(cx * cy),
+                       jnp.sum(cx * cz)]),
+            jnp.stack([jnp.sum(cx * cy), jnp.sum(cy * cy),
+                       jnp.sum(cy * cz)]),
+            jnp.stack([jnp.sum(cx * cz), jnp.sum(cy * cz),
+                       jnp.sum(cz * cz)]),
+        ]) / denom
+        evals, v = _eigh3_smallest(cov)
+        v = jnp.where(v[2] < 0.0, -v, v)
+        tr = jnp.sum(evals)
+        sigma = 3.0 * evals[0] / tr
+        bad = ~jnp.isfinite(sigma) | (tr <= 1e-20)
+        sigma = jnp.where(bad, 1.0, sigma)
+        v = jnp.where(bad, jnp.array([1.0, 0.0, 0.0], dtype), v)
+        fitted = jnp.array([mz, sigma, v[0], v[1]])
+        empty_val = jnp.array([z0, 0.0, 0.0, 0.0])
+        return carry, jnp.where(n > 0, fitted, empty_val)
+
+    _, out = jax.lax.scan(one_yaw, 0, (yaws, prev, z0s))
+    return out  # [W, 4]
+
+
 def _eigh3_smallest(cov):
     """Smallest eigenvalue + eigenvector of a symmetric 3x3 matrix, closed
     form (trigonometric eigenvalues; eigenvector via Cayley-Hamilton:
@@ -200,12 +455,62 @@ def _fit_cell(cell_pos, prev, buckets: CloudBuckets, cfg: MapConfig,
 
 def construct_map(points: np.ndarray, cfg: MapConfig,
                   chunk: int = 65536, dtype=jnp.float32,
-                  bucket_capacity: int | None = None) -> tgrid.TerrainGrid:
-    """Build the full RXS2 grid from a (cropped, downsampled) cloud."""
-    buckets = build_buckets(points, cfg, capacity=bucket_capacity)
+                  bucket_capacity: int | None = None,
+                  mode: str = "auto") -> tgrid.TerrainGrid:
+    """Build the full RXS2 grid from a (cropped, downsampled) cloud.
+
+    mode: "yawshare" (default via "auto": 3D buckets + exact KD z-seeds +
+    one shared 5x5x6 gather per (x, y) column scanned over its Nyaw
+    fits — ~30-60x fewer gather items than per-cell sweeps), "xyz"
+    (per-cell 3x3x3 3D windows), or "xy" (the round-4 2D column
+    buckets)."""
     nx, ny, nyaw = cfg.voxel_num
     ox, oy, oyaw = cfg.map_origin
     n_cells = nx * ny * nyaw
+
+    if mode == "auto":
+        mode = "yawshare"
+    use_xyz = mode == "xyz"
+
+    if mode == "yawshare":
+        buckets = build_buckets3d(points, cfg, capacity=bucket_capacity)
+        seeds = nearest_z_seeds(points, cfg).reshape(nx * ny, nyaw)
+        idsxy = np.arange(nx * ny, dtype=np.int64)
+        cell_xy = np.stack([
+            ((idsxy // ny) + 0.5) * cfg.xy_resolution + ox,
+            ((idsxy % ny) + 0.5) * cfg.xy_resolution + oy,
+        ], axis=1).astype(np.float32)
+        yaws = jnp.asarray(
+            ((np.arange(nyaw) + 0.5) * cfg.yaw_resolution + oyaw)
+            .astype(np.float32))
+        cxy = max(64, chunk // (nyaw * 8))     # xy cells per dispatch
+        pad = (-(nx * ny)) % cxy
+        cell_xy = np.concatenate([cell_xy, np.zeros((pad, 2), np.float32)])
+        seeds = np.concatenate([seeds,
+                                np.zeros((pad, nyaw), np.float32)])
+        n_chunks = cell_xy.shape[0] // cxy
+        cell_xy = jnp.asarray(cell_xy.reshape(n_chunks, cxy, 2))
+        seeds = jnp.asarray(seeds.reshape(n_chunks, cxy, nyaw))
+
+        @partial(jax.jit, static_argnames=("first",))
+        def sweep(cells, values, szs, buckets, first):
+            return jax.vmap(lambda p, v, s: _fit_yaw_block(
+                p, yaws, v, s, buckets, cfg, first))(cells, values, szs)
+
+        values = jnp.zeros((n_chunks, cxy, nyaw, 4), dtype)
+        for it in range(cfg.iter_num):
+            out = []
+            for ci in range(n_chunks):
+                out.append(sweep(cell_xy[ci], values[ci], seeds[ci],
+                                 buckets, it == 0))
+            values = jnp.stack(out)
+        data = values.reshape(-1, nyaw, 4)[:nx * ny] \
+            .reshape(nx, ny, nyaw, 4)
+        return tgrid.from_buffers(
+            data, min_cnormal=cfg.min_cnormal, max_rho=cfg.max_rho,
+            xy_resolution=cfg.xy_resolution,
+            yaw_resolution=cfg.yaw_resolution,
+            origin=cfg.map_origin, gravity=cfg.gravity)
 
     ids = np.arange(n_cells, dtype=np.int64)
     xs = (ids // (ny * nyaw)).astype(np.float64)
@@ -223,17 +528,40 @@ def construct_map(points: np.ndarray, cfg: MapConfig,
     n_chunks = cell_pos.shape[0] // chunk
     cell_pos = jnp.asarray(cell_pos.reshape(n_chunks, chunk, 3))
 
-    @partial(jax.jit, static_argnames=("first",))
-    def sweep(cells, values, buckets, first):
-        return jax.vmap(lambda p, v: _fit_cell(p, v, buckets, cfg, first))(
-            cells, values)
+    if use_xyz:
+        buckets = build_buckets3d(points, cfg, capacity=bucket_capacity)
+        seeds = nearest_z_seeds(points, cfg)
+        seeds = np.concatenate(
+            [seeds, np.zeros(pad, np.float32)]).reshape(n_chunks, chunk)
+        seeds = jnp.asarray(seeds)
 
-    values = jnp.zeros((n_chunks, chunk, 4), dtype)
-    for it in range(cfg.iter_num):
-        out = []
-        for ci in range(n_chunks):
-            out.append(sweep(cell_pos[ci], values[ci], buckets, it == 0))
-        values = jnp.stack(out)
+        @partial(jax.jit, static_argnames=("first",))
+        def sweep(cells, values, szs, buckets, first):
+            return jax.vmap(lambda p, v, s: _fit_cell3d(
+                p, v, s, buckets, cfg, first))(cells, values, szs)
+
+        values = jnp.zeros((n_chunks, chunk, 4), dtype)
+        for it in range(cfg.iter_num):
+            out = []
+            for ci in range(n_chunks):
+                out.append(sweep(cell_pos[ci], values[ci], seeds[ci],
+                                 buckets, it == 0))
+            values = jnp.stack(out)
+    else:
+        buckets = build_buckets(points, cfg, capacity=bucket_capacity)
+
+        @partial(jax.jit, static_argnames=("first",))
+        def sweep(cells, values, buckets, first):
+            return jax.vmap(lambda p, v: _fit_cell(p, v, buckets, cfg,
+                                                   first))(cells, values)
+
+        values = jnp.zeros((n_chunks, chunk, 4), dtype)
+        for it in range(cfg.iter_num):
+            out = []
+            for ci in range(n_chunks):
+                out.append(sweep(cell_pos[ci], values[ci], buckets,
+                                 it == 0))
+            values = jnp.stack(out)
 
     data = values.reshape(-1, 4)[:n_cells].reshape(nx, ny, nyaw, 4)
     return tgrid.from_buffers(

@@ -226,9 +226,10 @@ def make_batch(B, cfg, shape, rng, sort=True):
 def _solver_knobs():
     return dict(
         B=int(os.environ.get("BENCH_BATCH", "4096")),
-        # 192 > 128 > 96 at w2048 warm (e24: 778/556/672 solves/s) — fewer
-        # host round-trips win once warm starts cut evals/lane to ~110
-        chunk_steps=int(os.environ.get("BENCH_CHUNK_STEPS", "192")),
+        # e30 (knn-warm + mem8, evals/lane ~73): c128 best (1224 solves/s
+        # vs 1100 at c192, interleaved reps; rep-to-rep platform noise
+        # dominates below that margin)
+        chunk_steps=int(os.environ.get("BENCH_CHUNK_STEPS", "128")),
         n_rep=int(os.environ.get("BENCH_REPS", "2")),
         max_dispatch=int(os.environ.get("BENCH_DISPATCH", "2048")),
         int_K=int(os.environ.get("BENCH_INTK", "8")),

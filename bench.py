@@ -455,6 +455,32 @@ def extras():
                 "mean_track_err_m": round(merr, 4)}
     section(mpc_metric)
 
+    def cold_headline_metric():
+        # cold-start variant of the headline (no warm duals): keeps
+        # cross-round headline numbers comparable with pre-warm rounds
+        # (round-4 advice) — same workload generator, same solver config
+        from uneven_planner_tpu.solver import alm
+        kn = _solver_knobs()
+        shape = alm.ProblemShape(10, 20, kn["int_K"])
+        B = int(os.environ.get("BENCH_COLD_BATCH", "2048"))
+
+        def run(xs, bs, feats):
+            res = alm.solve_flat_compacted(
+                xs, bs, shape, grid, cfg.alm,
+                lbfgs_overrides=kn["overrides"],
+                chunk_steps=kn["chunk_steps"], buckets=(1, 4, 16),
+                max_dispatch=kn["max_dispatch"])
+            return np.asarray(res.converged)
+
+        conv, dt = timed(run, [make_batch(B, cfg, shape, rng)
+                               for _ in range(n_rep + 1)])
+        sys.stderr.write(f"cold headline batch={B} time={dt*1e3:.1f}ms "
+                         f"converged={conv.mean()*100:.1f}%\n")
+        return {"metric": "cold_solves_per_sec_per_chip_hill",
+                "value": round(B / dt, 2), "unit": "solves/s",
+                "converged_pct": round(float(conv.mean() * 100), 2)}
+    section(cold_headline_metric)
+
     def replan_latency_metric():
         # single-plan replan latency (BASELINE row 4): the reference prints
         # per-plan ms at kino_astar.cpp:121-122 (frontend) and
@@ -492,13 +518,35 @@ def extras():
             np.asarray(batch(*bs[i]))
             latb.append(time.time() - t0)
         b64 = float(np.median(latb) * 1e3)
+
+        # comparison point: the exact-semantics C++ A* front end on the
+        # same scenarios, host CPU (the reference's printed per-plan
+        # frontend ms, kino_astar.cpp:121-122; its ALM runs on top)
+        native_ms = None
+        try:
+            from uneven_planner_tpu.utils import native
+            if native.ensure_built():
+                ts = []
+                for i in range(1, min(n1, 6) + 1):
+                    s0 = np.asarray(scens[i][0][0])
+                    g0 = np.asarray(scens[i][1][0])
+                    t0 = time.time()
+                    native.kino_astar_plan(grid, cfg.frontend, s0, g0)
+                    ts.append(time.time() - t0)
+                native_ms = float(np.percentile(ts, 50) * 1e3)
+        except Exception as e:
+            sys.stderr.write(f"native frontend timing skipped: {e!r}\n")
+
         sys.stderr.write(f"replan p50={p50:.1f}ms (batch1, "
                          f"conv={np.mean(ok1)*100:.0f}%) "
-                         f"batch64={b64:.1f}ms ({b64/64:.1f}ms/plan)\n")
+                         f"batch64={b64:.1f}ms ({b64/64:.1f}ms/plan) "
+                         f"native_frontend_cpu={native_ms}ms\n")
         return {"metric": "replan_latency_ms_p50", "value": round(p50, 1),
                 "unit": "ms", "batch1_converged": float(np.mean(ok1)),
                 "batch64_wall_ms": round(b64, 1),
-                "batch64_ms_per_plan": round(b64 / 64, 2)}
+                "batch64_ms_per_plan": round(b64 / 64, 2),
+                "native_frontend_cpu_ms_p50":
+                    round(native_ms, 1) if native_ms else None}
     section(replan_latency_metric)
 
     def control_metric():

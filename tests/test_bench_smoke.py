@@ -30,6 +30,7 @@ def test_bench_contract_tiny(tmp_path):
         "BENCH_TRACK_STEPS": "40", "BENCH_MPC_BATCH": "2",
         "BENCH_MPC_STEPS": "16", "BENCH_CONTROL_BATCH": "8",
         "BENCH_REPLAN_REPS": "2", "BENCH_REPLAN_B64_REPS": "2",
+        "BENCH_COLD_BATCH": "8",
         "BENCH_CHILD_TIMEOUT": "600",
     })
     r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
@@ -58,6 +59,7 @@ def test_bench_contract_tiny(tmp_path):
     assert "plan_track_scenarios_per_sec_per_chip_hill" in got
     assert "mpc_ticks_per_sec_per_chip_fig8" in got
     assert "replan_latency_ms_p50" in got
+    assert "cold_solves_per_sec_per_chip_hill" in got
     assert "control_r03cfg_solves_per_sec_per_chip_hill" in got
     for m in blob["extra"]:
         assert m["value"] > 0, m

@@ -65,15 +65,24 @@ def sample_free_scenarios(occ_xy: np.ndarray, map_cfg, B: int, rng,
         if er.sum() >= max(64, 4 * B):
             break
     free = er
+    # connected-component labels: start and goal must share a free-space
+    # component, else the scenario is unplannable by construction (vocano's
+    # crater rim separates regions; the reference operator only ever clicks
+    # reachable goals).  4-connectivity matches the planner's cell steps.
+    from scipy import ndimage
+    labels, _ = ndimage.label(free)
     ii, jj = np.nonzero(free)
     if ii.size < 2:
         raise RuntimeError("no free space to sample scenarios from")
     xs = ox + (ii + 0.5) * res
     ys = oy + (jj + 0.5) * res
     pts = np.stack([xs, ys], axis=1)
+    comp = labels[ii, jj]
     # keep away from the map border so the planner has room
     inner = ((pts > lo) & (pts < hi)).all(axis=1)
-    pts = pts[inner] if inner.sum() >= 2 else pts
+    if inner.sum() >= 2:
+        pts = pts[inner]
+        comp = comp[inner]
 
     starts, goals = [], []
     attempts = 0
@@ -84,13 +93,16 @@ def sample_free_scenarios(occ_xy: np.ndarray, map_cfg, B: int, rng,
                 f"scenario sampling stalled at {len(starts)}/{B}")
         if attempts % 20000 == 0:
             d_min = max(0.5, 0.8 * d_min)  # relax on cluttered scenes
-        a = pts[rng.integers(len(pts))]
+        k = rng.integers(len(pts))
+        a = pts[k]
         ang = rng.uniform(-np.pi, np.pi)
         d = rng.uniform(d_min, d_max)
         g = a + d * np.array([np.cos(ang), np.sin(ang)])
         gi = int((g[0] - ox) / res)
         gj = int((g[1] - oy) / res)
         if not (0 <= gi < nx and 0 <= gj < ny) or not free[gi, gj]:
+            continue
+        if labels[gi, gj] != comp[k]:
             continue
         if (g < lo).any() or (g > hi).any():
             continue
@@ -137,7 +149,9 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
 
     t0 = time.time()
     res = run(grid, jnp.asarray(starts), jnp.asarray(goals))
-    res = jax.tree.map(np.asarray, res)
+    # np.array (copy): np.asarray of a device array is read-only, and the
+    # retry pass writes recovered lanes in place
+    res = jax.tree.map(lambda a: np.array(a), res)
     wall = time.time() - t0
 
     a = scfg.alm
@@ -169,6 +183,8 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
             manager=_dc.replace(scfg.manager,
                                 init_time_times=scfg.manager.init_time_times
                                 * 1.5),
+            alm=_dc.replace(scfg.alm,
+                            max_iter=int(scfg.alm.max_iter * 2.5)),
             frontend=_dc.replace(scfg.frontend,
                                  max_rounds=scfg.frontend.max_rounds * 2))
         width = 8
@@ -178,7 +194,7 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
         rrun = lambda g, s, go: pipeline.plan_track_batch_chunked(
             g, scfg_r, s, go, shape,
             n_track_steps=n_track_steps, lbfgs_overrides=ovr)
-        rres = jax.tree.map(np.asarray, rrun(
+        rres = jax.tree.map(lambda a: np.array(a), rrun(
             grid, jnp.asarray(starts[pad]), jnp.asarray(goals[pad])))
         r_ok = (rres.plan_success & _accept(rres))[:fail.size]
         n_retry = int(fail.size)
@@ -200,6 +216,24 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
     fe_fail = ~res.plan_success
     alm_fail = res.plan_success & ~accepted
     trk_bad = ok & ~np.isfinite(res.mean_track_err)
+
+    # kinodynamic feasibility oracle: the exact-reference-semantics C++ A*
+    # (native/, kino_astar.cpp:67-236 twin).  Blind-sampled scenarios can
+    # be genuinely unreachable under the curvature/occupancy constraints
+    # (measured: on vocano the oracle fails the SAME lanes the batched
+    # search fails, at 2x search depth too) — the reference would abort on
+    # them as well, so per-lane quality is reported on the feasible subset
+    # alongside the raw blind rates.
+    feasible = None
+    try:
+        from uneven_planner_tpu.utils import native
+        if native.ensure_built():
+            feasible = np.array([
+                native.kino_astar_plan(grid, scfg.frontend, starts[i],
+                                       goals[i]) is not None
+                for i in range(B)])
+    except Exception:
+        feasible = None
 
     # 6-metric report on the TRACKED trajectories (the pipeline's own)
     mm = jax.tree.map(np.asarray, metrics_fn(
@@ -238,6 +272,14 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
         },
         "retried_lanes": n_retry,
         "retry_recovered": retried_ok,
+        "oracle_feasible_rate": (float(feasible.mean())
+                                 if feasible is not None else None),
+        "frontend_success_on_feasible": (
+            float(res.plan_success[feasible].mean())
+            if feasible is not None and feasible.any() else None),
+        "pipeline_success_on_feasible": (
+            float(ok[feasible].mean())
+            if feasible is not None and feasible.any() else None),
         "res_h_p95": float(np.percentile(res_h, 95)),
         "res_g_p95": float(np.percentile(res_g, 95)),
         "pipeline_success_rate": float(ok.mean()),

@@ -353,3 +353,44 @@ def test_pure_jax_cholesky_matches_lapack():
         jnp.asarray(Ms)))
     for M, U in zip(Ms, Us):
         np.testing.assert_allclose(U.T @ U, M, rtol=1e-10, atol=1e-8)
+
+
+def test_teleop_state_machine_and_world_tf():
+    """Teleop key-state semantics (keyboard_control.py:30-84) and the
+    world->base_footprint transform (world_tf_pub.py:1-30 equivalent)."""
+    from uneven_planner_tpu.sim import ackermann as ak
+    from uneven_planner_tpu.sim import teleop
+
+    s = teleop.TeleopState()
+    assert teleop.command(s) is None           # nothing held -> no publish
+    s = teleop.key_down(s, "w")
+    assert teleop.command(s) == (1.0, 0.0)     # bang-bang forward
+    s = teleop.key_down(s, "a")
+    assert teleop.command(s) == (1.0, 0.5)
+    s = teleop.key_down(s, "s")                # opposite cancels forward
+    assert s.down and not s.up
+    assert teleop.command(s) == (-1.0, 0.5)
+    s = teleop.key_down(s, "d")
+    assert s.right and not s.left
+    assert teleop.command(s) == (-1.0, -0.5)
+    s = teleop.key_up(s, "s")
+    s = teleop.key_up(s, "d")
+    assert teleop.command(s) is None
+
+    # world_tf: quaternion round-trips the terrain-lift rotation
+    from uneven_planner_tpu.config import MapConfig
+    from uneven_planner_tpu.terrain.grid import se3_lift
+    from uneven_planner_tpu.terrain.synthetic import make_synthetic_grid
+    grid = make_synthetic_grid(MapConfig(xy_resolution=0.25,
+                                         yaw_resolution=0.6))
+    pose = jnp.asarray([0.7, -0.4, 0.9])
+    p, q = ak.world_tf(grid, pose)
+    R, p_ref = se3_lift(grid, pose)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-6)
+    x, y, z, w = [float(v) for v in q]
+    Rq = np.array([
+        [1 - 2*(y*y + z*z), 2*(x*y - z*w), 2*(x*z + y*w)],
+        [2*(x*y + z*w), 1 - 2*(x*x + z*z), 2*(y*z - x*w)],
+        [2*(x*z - y*w), 2*(y*z + x*w), 1 - 2*(x*x + y*y)],
+    ])
+    np.testing.assert_allclose(Rq, np.asarray(R), atol=1e-5)

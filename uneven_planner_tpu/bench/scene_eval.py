@@ -184,7 +184,14 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
                                 init_time_times=scfg.manager.init_time_times
                                 * 1.5),
             alm=_dc.replace(scfg.alm,
-                            max_iter=int(scfg.alm.max_iter * 2.5)),
+                            max_iter=int(scfg.alm.max_iter * 2.5),
+                            # relax the time-minimization weight for the
+                            # retry: rho_T is a tuning objective, not a
+                            # feasibility gate (forest's rho_T=500 forces
+                            # short T, which is what strands the failing
+                            # lanes' non-holonomy residuals); the res_h /
+                            # res_g acceptance windows still apply
+                            rho_T=scfg.alm.rho_T * 0.1),
             frontend=_dc.replace(scfg.frontend,
                                  max_rounds=scfg.frontend.max_rounds * 2))
         width = 8

@@ -85,3 +85,29 @@ def rear_axle_pose(center_pose, offset: float = 0.13):
     x, y, yaw = center_pose[0], center_pose[1], center_pose[2]
     return jnp.stack([x - offset * jnp.cos(yaw),
                       y - offset * jnp.sin(yaw), yaw])
+
+
+def quaternion_from_rotation(R):
+    """(x, y, z, w) quaternion of a rotation matrix (Shepperd's branchless
+    max-trace form, safe for all orientations the terrain lift produces)."""
+    import jax.numpy as jnp
+    t = jnp.trace(R)
+    qw = 0.5 * jnp.sqrt(jnp.maximum(1.0 + t, 1e-12))
+    s = 0.25 / jnp.maximum(qw, 1e-9)
+    qx = (R[2, 1] - R[1, 2]) * s
+    qy = (R[0, 2] - R[2, 0]) * s
+    qz = (R[1, 0] - R[0, 1]) * s
+    return jnp.stack([qx, qy, qz, qw])
+
+
+def world_tf(grid, se2_pose):
+    """world -> base_footprint transform of the car's center pose:
+    (translation [3], quaternion [4] xyzw).
+
+    TPU-native equivalent of the reference's world_tf_pub node (reference:
+    carsim/scripts/world_tf_pub.py:1-30), which re-broadcasts the center
+    PoseStamped as a TF — here the SE(2) state lifts through the terrain
+    (SE(3) pose on the surface) and returns the transform as arrays."""
+    from uneven_planner_tpu.terrain.grid import se3_lift
+    R, p = se3_lift(grid, se2_pose)
+    return p, quaternion_from_rotation(R)

@@ -30,7 +30,7 @@ grid = jax.device_put(
 shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=16)
 B = 4096
 rng = np.random.default_rng(0)
-x0s, bounds = make_batch(B, cfg0, shape, rng)
+x0s, bounds, _ = make_batch(B, cfg0, shape, rng)
 p = dataclasses.replace(alm.lbfgs_params_from(cfg),
                         mem_size=16, max_iterations=30)
 

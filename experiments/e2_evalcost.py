@@ -37,7 +37,7 @@ from bench import make_batch  # reuse scenario generator
 sys.path.insert(0, "/root/repo")
 
 rng = np.random.default_rng(0)
-x0s, bounds = make_batch(B, cfg, shape, rng)
+x0s, bounds, _ = make_batch(B, cfg, shape, rng)
 
 duals = alm.DualState(
     lam=jnp.zeros((B, shape.equal_num), jnp.float32),

@@ -31,7 +31,7 @@ CHAIN = 16
 
 for B in [512, 1024, 2048, 4096, 8192]:
     rng = np.random.default_rng(0)
-    x0s, bounds = make_batch(B, cfg, shape, rng)
+    x0s, bounds, _ = make_batch(B, cfg, shape, rng)
     duals = alm.DualState(
         lam=jnp.zeros((B, shape.equal_num), jnp.float32),
         mu=jnp.zeros((B, shape.non_equal_num), jnp.float32),

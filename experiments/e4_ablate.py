@@ -25,7 +25,7 @@ shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=16)
 B = 8192
 CHAIN = 16
 rng = np.random.default_rng(0)
-x0s, bounds = make_batch(B, cfg, shape, rng)
+x0s, bounds, _ = make_batch(B, cfg, shape, rng)
 duals = alm.DualState(
     lam=jnp.zeros((B, shape.equal_num), jnp.float32),
     mu=jnp.zeros((B, shape.non_equal_num), jnp.float32),

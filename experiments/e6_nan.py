@@ -32,7 +32,7 @@ grid = jax.device_put(
 shape = alm.ProblemShape(piece_xy=10, piece_yaw=20, int_K=16)
 B = 8192
 rng = np.random.default_rng(0)
-x0s, bounds = make_batch(B, cfg, shape, rng)
+x0s, bounds, _ = make_batch(B, cfg, shape, rng)
 
 p = alm.lbfgs_params_from(cfg.alm)
 p = dataclasses.replace(p, mem_size=16, max_iterations=30)

@@ -219,10 +219,13 @@ def run_scene(name: str, B: int = 64, cache_dir: str = "data",
         accepted = _accept(res)
         ok = res.plan_success & accepted
 
-    # failure attribution (post-retry): frontend vs ALM vs tracking
+    # failure attribution (post-retry): frontend vs ALM vs tracking; a
+    # non-finite tracking error is a FAILURE (excluded from ok so the
+    # success rate and the mean-error artifact stay finite/consistent)
     fe_fail = ~res.plan_success
     alm_fail = res.plan_success & ~accepted
     trk_bad = ok & ~np.isfinite(res.mean_track_err)
+    ok = ok & ~trk_bad
 
     # kinodynamic feasibility oracle: the exact-reference-semantics C++ A*
     # (native/, kino_astar.cpp:67-236 twin).  Blind-sampled scenarios can

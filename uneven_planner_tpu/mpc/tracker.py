@@ -195,7 +195,7 @@ def assemble_qp(xbar, output, xref, dref, cfg: MPCConfig):
     return P, q, Amat, l, u
 
 
-def _input_block(cfg: MPCConfig, H: int, xref, dref, dtype):
+def _input_block(cfg: MPCConfig, H: int, dref, dtype):
     """Input-only Hessian block Pu [2H, 2H] and gradient qu [2H] — the
     u-rows of the reference Hessian (mpc.cpp:344-385): R + Rd
     difference-chain couplings, with Q[2] added to the v weight for the
@@ -264,7 +264,7 @@ def assemble_qp_condensed(xbar, output, xref, dref, cfg: MPCConfig):
     Px = jnp.tile(jnp.asarray([2 * Q[0], 2 * Q[1], 2 * Q[2]], dtype), H)
     qx = (-2 * jnp.asarray(Q, dtype)[:, None] * xref[:, d:]).T.reshape(-1)
 
-    Pu, qu = _input_block(cfg, H, xref, dref, dtype)
+    Pu, qu = _input_block(cfg, H, dref, dtype)
     PxF = Px[:, None] * F
     P = jnp.matmul(F.T, PxF, precision=jax.lax.Precision.HIGHEST) + Pu
     q = F.T @ (Px * w + qx) + qu
@@ -341,11 +341,19 @@ def mpc_step(now_state, xref, dref, output_prev, output_buff,
             fixed_iters=cfg.qp_scan_iters)
         xu = sol.x if cfg.qp_condense else sol.x[dimx:]
         un = xu.reshape(H, 2).T                    # [2, H]
+        # solver-failure recovery (reference: an OSQP failure silently
+        # keeps the previous output, mpc.cpp:526-539): a non-finite QP
+        # solution — e.g. a numerically indefinite KKT factorization,
+        # which the pure-JAX Cholesky deliberately surfaces as NaN
+        # (admm_qp._chol_upper_jax) — must not poison the carried output
+        ok = jnp.all(jnp.isfinite(un))
+        un = jnp.where(ok, un, output[:, d:])
+        y_out = jnp.where(ok, sol.y, y_prev)
         out = output
         if d > 0:
             out = out.at[:, :d].set(output_buff[:d].T)
         out = out.at[:, d:].set(un)
-        return out, sol.iters, sol.y
+        return out, sol.iters, y_out
 
     nc = (4 * H - 2) if cfg.qp_condense else (2 * H + dimx + 2 * H - 2)
 

@@ -105,7 +105,7 @@ def main(scene: str = "hill", rate_hz: float = 20.0):  # pragma: no cover
                                            scfg.mpc, dt)
             p, q = ackermann.world_tf(grid, state)
             print(f"\rpos=({float(p[0]):+.2f}, {float(p[1]):+.2f}, "
-                  f"{float(p[2]):+.2f}) cmd={cmd}", end="")
+                  f"{float(p[2]):+.2f}) cmd={cmd}", end="", flush=True)
     finally:
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
         print()

@@ -44,10 +44,14 @@ def _chol_upper_jax(M):
 
     def body(j, K):
         # No pivot clamp: a non-positive diagonal (numerically indefinite
-        # KKT) must surface as NaN/inf in the factor so downstream residual
-        # checks can detect the failed factorization — a clamped pivot
-        # would yield a finite-but-garbage inverse with no failure signal
-        # (LAPACK cho_factor reports failure; this is the analog).
+        # KKT) must surface as NaN/inf in the factor so callers can detect
+        # the failed factorization — a clamped pivot would yield a
+        # finite-but-garbage inverse with no failure signal (LAPACK
+        # cho_factor reports failure; this is the analog).  Consumers
+        # recover explicitly: polish keeps the unpolished iterate on
+        # non-finite output (solve_qp), and the MPC keeps the previous
+        # tick's output on a non-finite QP solution (tracker.qp_pass —
+        # the reference's OSQP-failure behavior, mpc.cpp:526-539).
         pivot = jnp.sqrt(K[j, j])
         col = K[:, j] / pivot
         below = idx > j

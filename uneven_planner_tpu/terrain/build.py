@@ -275,11 +275,16 @@ def _fit_yaw_block(cell_xy, yaws, prev, seed_z, buckets: CloudBuckets3D,
     W = yaws.shape[0]
     ox, oy, oz = buckets.origin
     s = buckets.size
+    # lower z margin = the rotated ellipsoid's max extent (static from the
+    # config; the construct_map yawshare path builds buckets at exactly
+    # this size, so the 5x5xNZ window coverage proofs in the docstring
+    # hold for any ellipsoid configuration, not just the 0.2 m default)
+    r_ell = max(cfg.ellipsoid_x, cfg.ellipsoid_y, cfg.ellipsoid_z)
 
     z0s = seed_z if first_iter else prev[:, 0]
     bx = jnp.clip(((cell_xy[0] - ox) / s).astype(jnp.int32), 2, nbx - 3)
     by = jnp.clip(((cell_xy[1] - oy) / s).astype(jnp.int32), 2, nby - 3)
-    bz = jnp.clip(((jnp.min(z0s) - 0.2 - oz) / s).astype(jnp.int32),
+    bz = jnp.clip(((jnp.min(z0s) - r_ell - oz) / s).astype(jnp.int32),
                   0, nbz - NZ)
     neigh = jax.lax.dynamic_slice(
         buckets.bucket_idx,

@@ -394,3 +394,24 @@ def test_teleop_state_machine_and_world_tf():
         [2*(x*z - y*w), 2*(y*z + x*w), 1 - 2*(x*x + y*y)],
     ])
     np.testing.assert_allclose(Rq, np.asarray(R), atol=1e-5)
+
+
+def test_mpc_step_keeps_previous_output_on_solver_failure():
+    """A non-finite QP solution (e.g. a failed KKT factorization) must not
+    poison the carried output: mpc_step falls back to the previous tick's
+    inputs — the reference's OSQP-failure behavior (mpc.cpp:526-539)."""
+    cfg = MPCConfig()
+    T, d = cfg.predict_steps, cfg.delay_num
+    prev = jnp.asarray(np.tile([[0.3], [0.1]], (1, T)), jnp.float32)
+    buff = jnp.zeros((max(d, 1), 2), jnp.float32)
+    state = jnp.asarray([0.0, 0.0, 0.0], jnp.float32)
+    refs_bad = jnp.full((3, T), jnp.nan, jnp.float32)  # poisons q -> sol.x
+    dref = jnp.zeros((2, T), jnp.float32)
+    res = jax.jit(lambda: tracker.mpc_step(state, refs_bad, dref, prev,
+                                           buff, cfg, max_sqp_iter=1))()
+    out = np.asarray(res.output)
+    assert np.isfinite(out).all(), "output must stay finite on QP failure"
+    np.testing.assert_allclose(out[:, d:], np.asarray(prev)[:, d:],
+                               atol=0.0)
+    np.testing.assert_allclose(np.asarray(res.cmd),
+                               np.asarray(prev)[:, d], atol=0.0)

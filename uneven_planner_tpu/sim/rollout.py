@@ -195,13 +195,16 @@ def track_trajectory_batched(traj: SE2Traj, start_states, cfg: MPCConfig,
     the pipeline case) vs one shared trajectory (the figure-eight bench).
     """
     B = start_states.shape[0]
-    # joint (batch x chunk) safety envelope from the round-4 fault map:
-    # (8 x 50) and (256 x 8) execute, (8 x 150) and (256 x 25) crash the
-    # worker — cap the per-dispatch product with margin.  For B > 512 the
-    # per-chunk tick count would fall below a useful size (and a floor
-    # would silently break the <=2048 lane-tick envelope), so split the
-    # batch into sub-batches instead and keep >=4 ticks per dispatch.
-    max_sub = 2048 // 4
+    # joint (batch x chunk) safety envelope: the round-4 fault map with
+    # the 150-var full QP crashed the worker past ~2048 lane-ticks; with
+    # the round-5 condensed 60-var QP the envelope re-probe (e34) executes
+    # (8x150), (256x25..128) and (512x64) — i.e. >=32k lane-ticks —
+    # cleanly, so the cap sits at 8192 with 4x margin below the largest
+    # verified product.  For B > 2048 the per-chunk tick count would fall
+    # below a useful size, so split the batch into sub-batches instead
+    # and keep >=4 ticks per dispatch.
+    max_lane_ticks = 8192
+    max_sub = max_lane_ticks // 4
     if B > max_sub:
         subs = [
             track_trajectory_batched(
@@ -212,7 +215,7 @@ def track_trajectory_batched(traj: SE2Traj, start_states, cfg: MPCConfig,
             for i in range(0, B, max_sub)]
         return TrackResult(*(jnp.concatenate(parts, axis=0)
                              for parts in zip(*subs)))
-    chunk_ticks = max(1, min(chunk_ticks, 2048 // max(B, 1)))
+    chunk_ticks = max(1, min(chunk_ticks, max_lane_ticks // max(B, 1)))
     dtype = start_states.dtype
     T = cfg.predict_steps
     d = max(cfg.delay_num, 1)

@@ -928,13 +928,14 @@ def solve_flat_compacted(x0s, bounds, shape: ProblemShape, grid,
     processed in sequential slices, and unconverged lanes get one narrow
     retry pass.
 
-    Both knobs exist because this tunneled TPU runtime corrupts
-    long-running while_loop programs at large widths: lanes that solve
-    cleanly at B<=2048 come back with NaN line-search failures at B=8192
-    (~40% of the batch) and ~0.3% at B=4096, while a single evaluation at
-    B=8192 is bitwise correct (PLATFORM_NOTES.md §7).  Width 4096 is ~2x
-    faster per lane than 2048 (per-iteration launch overhead amortizes), so
-    the driver runs wide and retries the rare casualties narrow; genuinely
+    Both knobs exist because this TPU platform's wide programs are not
+    slot-invariant past lane 2048: identical lanes compute different
+    results when placed in slots >= 2048 of a 4096-wide dispatch
+    (root-caused round 5, PLATFORM_NOTES.md §16 — the mechanism behind
+    the earlier "wide-batch NaN corruption" readings of §7).  Widths 512
+    and 2048 are bit-identical per lane, so max_dispatch 2048 is the
+    verified numerics boundary; the narrow retry pass re-solves rare
+    casualties (marginal lanes hit by line-search noise), and genuinely
     unconvergeable lanes re-fail deterministically and keep their honest
     converged=False flag."""
     import numpy as np
